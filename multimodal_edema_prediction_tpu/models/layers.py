@@ -1,0 +1,267 @@
+"""Shared flax building blocks.
+
+TPU-first re-implementations of the reference's primitive modules:
+
+- :class:`ScaleNorm` — the x_transformers ``use_scalenorm=True`` norm used by
+  DuETT's dual-axis encoders (reference ``duett/duett.py:95-105``).
+- :class:`BatchNormLastDim` — BatchNorm over all leading axes, feature = last
+  axis (reference ``duett/duett.py:11-22``). Under GSPMD jit the batch mean is
+  a *global* mean across the data mesh axis automatically.
+- :func:`make_mlp` / :class:`SimpleMLP` — ``simple_mlp`` equivalent
+  (reference ``duett/duett.py:24-39``).
+- :class:`CVE` — continuous value embedding ``cve`` (``duett/duett.py:151-157``).
+- :class:`MultiHeadAttention` — einsum attention with decoupled head dim
+  (x_transformers uses ``attn_dim_head=d_embedding//n_heads`` so the attention
+  inner dim is tiny relative to the token dim).
+- :class:`TransformerEncoder` — pre-norm encoder + final norm, the
+  x_transformers ``Encoder(depth=1)`` equivalent.
+
+All modules take an explicit ``train`` flag; dropout needs the ``"dropout"``
+rng when ``train=True`` and BatchNorm mutates the ``"batch_stats"`` collection.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+class ScaleNorm(nn.Module):
+    """g * x / max(||x|| * d^-0.5, eps) — a single learned scalar gain."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (1,), jnp.float32)
+        d = x.shape[-1]
+        norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+        norm = norm * (d ** -0.5)
+        out = x / jnp.maximum(norm, self.eps).astype(x.dtype)
+        return out * g.astype(x.dtype)
+
+
+class BatchNormLastDim(nn.Module):
+    """BatchNorm1d over the last axis; stats over all leading axes.
+
+    Matches torch BatchNorm1d defaults: eps=1e-5, momentum=0.1
+    (flax momentum convention: ra = m*ra + (1-m)*batch → m=0.9).
+    """
+    use_running_average: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average)
+        flat = x.reshape(-1, x.shape[-1])
+        out = nn.BatchNorm(
+            use_running_average=ura, momentum=0.9, epsilon=1e-5,
+            dtype=x.dtype, param_dtype=jnp.float32)(flat)
+        return out.reshape(x.shape)
+
+
+class SimpleMLP(nn.Module):
+    """``simple_mlp`` equivalent (duett/duett.py:24-39).
+
+    Layer order for n_hidden >= 1:
+        [BN_in?] Linear(d_in,d_h) act Dropout
+        { [BN?] Linear(d_h,d_h) act Dropout } * (n_hidden-1)
+        [BN?] Linear(d_h,d_out) [act?]
+    """
+    d_out: int
+    n_hidden: int = 1
+    d_hidden: int = 64
+    final_activation: bool = False
+    input_batch_norm: bool = False
+    hidden_batch_norm: bool = False
+    dropout: float = 0.0
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dense = lambda d, name: nn.Dense(  # noqa: E731
+            d, dtype=x.dtype, param_dtype=jnp.float32, name=name)
+        if self.n_hidden == 0:
+            if self.input_batch_norm:
+                x = BatchNormLastDim(name="bn_in")(x, use_running_average=not train)
+            x = dense(self.d_out, "out")(x)
+        else:
+            if self.input_batch_norm:
+                x = BatchNormLastDim(name="bn_in")(x, use_running_average=not train)
+            x = dense(self.d_hidden, "in")(x)
+            x = self.activation(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            for i in range(self.n_hidden - 1):
+                if self.hidden_batch_norm:
+                    x = BatchNormLastDim(name=f"bn_{i}")(x, use_running_average=not train)
+                x = dense(self.d_hidden, f"hidden_{i}")(x)
+                x = self.activation(x)
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            if self.hidden_batch_norm:
+                x = BatchNormLastDim(name="bn_out")(x, use_running_average=not train)
+            x = dense(self.d_out, "out")(x)
+        if self.final_activation:
+            x = self.activation(x)
+        return x
+
+
+class CVE(nn.Module):
+    """Continuous value embedding: Linear(1,√d) → tanh → [BN] → Linear(√d,d).
+
+    Reference duett/duett.py:151-157.
+    """
+    d_embedding: int
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d_hidden = int(self.d_embedding ** 0.5)
+        h = nn.Dense(d_hidden, dtype=x.dtype, param_dtype=jnp.float32, name="in")(x)
+        h = jnp.tanh(h)
+        if self.batch_norm:
+            h = BatchNormLastDim(name="bn")(h, use_running_average=not train)
+        return nn.Dense(self.d_embedding, dtype=x.dtype, param_dtype=jnp.float32,
+                        name="out")(h)
+
+
+class PerVariableMLP(nn.Module):
+    """V independent 2→d_hidden→d_out MLPs as one batched einsum stack.
+
+    Replaces the reference's python loop over ``nn.ModuleList`` of V MLPs
+    (duett/duett.py:84-86, 259-260) with `[V, ...]`-leading parameter tensors:
+    one einsum per layer feeds the MXU instead of V tiny matmuls.
+
+    BatchNorm statistics are tracked **per variable** (matching V separate
+    BatchNorm1d modules): running stats have shape [V, d_hidden].
+    """
+    n_variables: int
+    d_out: int
+    d_hidden: int = 64
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [..., V, 2]
+        V, dh, do = self.n_variables, self.d_hidden, self.d_out
+        k_init = nn.initializers.lecun_normal()
+        w1 = self.param("w1", k_init, (V, 2, dh), jnp.float32)
+        b1 = self.param("b1", nn.initializers.zeros, (V, dh), jnp.float32)
+        w2 = self.param("w2", k_init, (V, dh, do), jnp.float32)
+        b2 = self.param("b2", nn.initializers.zeros, (V, do), jnp.float32)
+        scale = self.param("bn_scale", nn.initializers.ones, (V, dh), jnp.float32)
+        bias = self.param("bn_bias", nn.initializers.zeros, (V, dh), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((V, dh), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((V, dh), jnp.float32))
+
+        h = jnp.einsum("...vc,vcd->...vd", x, w1.astype(x.dtype)) + b1.astype(x.dtype)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+
+        # BatchNorm over all leading axes, per (v, channel).
+        if train:
+            axes = tuple(range(h.ndim - 2))
+            h32 = h.astype(jnp.float32)
+            mean = jnp.mean(h32, axis=axes)
+            var = jnp.var(h32, axis=axes)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + 1e-5) * scale
+        h = (h - mean.astype(h.dtype)) * inv.astype(h.dtype) + bias.astype(h.dtype)
+
+        return jnp.einsum("...vd,vdo->...vo", h, w2.astype(h.dtype)) + b2.astype(h.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard softmax attention with decoupled head dim.
+
+    ``d_head`` can be much smaller than the token dim (DuETT's dual-axis
+    encoders use token dims 600/840 with heads=2, d_head=12 — inner dim 24).
+    """
+    n_heads: int
+    d_head: Optional[int] = None
+    dropout: float = 0.0
+    qkv_bias: bool = True
+    out_bias: bool = True
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, train: bool = False,
+                 return_weights: bool = False):
+        d_model = q_in.shape[-1]
+        dh = self.d_head or d_model // self.n_heads
+        inner = self.n_heads * dh
+        dense = lambda d, bias, name: nn.Dense(  # noqa: E731
+            d, use_bias=bias, dtype=q_in.dtype, param_dtype=jnp.float32, name=name)
+        q = dense(inner, self.qkv_bias, "q")(q_in)
+        k = dense(inner, self.qkv_bias, "k")(kv_in)
+        v = dense(inner, self.qkv_bias, "v")(kv_in)
+
+        def split(x):
+            return x.reshape(x.shape[:-1] + (self.n_heads, dh))
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * (dh ** -0.5)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        weights_dropped = nn.Dropout(self.dropout, deterministic=not train)(weights)
+        out = jnp.einsum("...hqk,...khd->...qhd", weights_dropped, v)
+        out = out.reshape(out.shape[:-2] + (inner,))
+        out = dense(d_model, self.out_bias, "out")(out)
+        if return_weights:
+            return out, weights.mean(axis=-3)  # average over heads
+        return out
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-norm block: x + attn(norm(x)); x + ff(norm(x))."""
+    n_heads: int
+    d_head: Optional[int] = None
+    d_feedforward: int = 512
+    dropout: float = 0.0
+    scalenorm: bool = True
+
+    def _norm(self, name):
+        return ScaleNorm(name=name) if self.scalenorm else nn.LayerNorm(
+            name=name, dtype=jnp.float32)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = self._norm("norm_attn")(x)
+        h = MultiHeadAttention(self.n_heads, self.d_head, self.dropout,
+                               qkv_bias=False, name="attn")(h, h, train=train)
+        x = x + h
+        h = self._norm("norm_ff")(x)
+        h = nn.Dense(self.d_feedforward, dtype=x.dtype, param_dtype=jnp.float32,
+                     name="ff_in")(h)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(x.shape[-1], dtype=x.dtype, param_dtype=jnp.float32,
+                     name="ff_out")(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return x + h
+
+
+class TransformerEncoder(nn.Module):
+    """x_transformers ``Encoder`` equivalent: N pre-norm layers + final norm."""
+    n_layers: int
+    n_heads: int
+    d_head: Optional[int] = None
+    d_feedforward: int = 512
+    dropout: float = 0.0
+    scalenorm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_layers):
+            x = TransformerEncoderLayer(
+                self.n_heads, self.d_head, self.d_feedforward, self.dropout,
+                self.scalenorm, name=f"layer_{i}")(x, train=train)
+        norm = ScaleNorm(name="final_norm") if self.scalenorm else nn.LayerNorm(
+            name="final_norm", dtype=jnp.float32)
+        return norm(x)

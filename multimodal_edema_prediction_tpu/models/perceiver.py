@@ -1,0 +1,229 @@
+"""Pathology-query Perceiver fusion.
+
+Reference: ``models/main_architecture_duett.py:538-654`` (active
+``PatchDualPathologyPerceiver``) and ``:745-774`` (``_PerceiverBlock``).
+The ``dual`` variant reconstructs the frozen-CXR-head residual perceiver
+(``:659-741``, commented in the reference but required by its student path).
+
+Residual fusion rule (the core design):
+    fusion_logit = stop_grad(img_logit) + beta[k] · correction_head(T_k)
+with a zero-initialized correction output layer so fusion starts exactly at
+the image anchor.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import PerceiverConfig
+from .layers import MultiHeadAttention
+
+
+class PerceiverBlock(nn.Module):
+    """Pre-LN cross-attention + FFN with residuals (reference :745-774)."""
+    n_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, latents, kv, train: bool = False,
+                 return_attn: bool = False):
+        d = latents.shape[-1]
+        q = nn.LayerNorm(dtype=jnp.float32, name="norm_q")(latents)
+        k = nn.LayerNorm(dtype=jnp.float32, name="norm_kv")(kv)
+        q = q.astype(latents.dtype)
+        k = k.astype(latents.dtype)
+        attn = MultiHeadAttention(self.n_heads, d // self.n_heads,
+                                  self.dropout, qkv_bias=True, name="attn")
+        if return_attn:
+            a, w = attn(q, k, train=train, return_weights=True)
+        else:
+            a, w = attn(q, k, train=train), None
+        latents = latents + a
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm_ff")(
+            latents).astype(latents.dtype)
+        h = nn.Dense(d * 4, dtype=latents.dtype, param_dtype=jnp.float32,
+                     name="ff_in")(h)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(d, dtype=latents.dtype, param_dtype=jnp.float32,
+                     name="ff_out")(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        latents = latents + h
+        return (latents, w) if return_attn else latents
+
+
+class _Head(nn.Module):
+    """Linear→GELU→Dropout→Linear (reference ``_mk_head`` :572-576)."""
+    d_hidden: int
+    dropout: float
+    use_bias_out: bool = True
+    zero_init_out: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Dense(self.d_hidden, dtype=x.dtype, param_dtype=jnp.float32,
+                     name="in")(x)
+        h = nn.gelu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        out_init = nn.initializers.zeros if self.zero_init_out \
+            else nn.initializers.lecun_normal()
+        return nn.Dense(1, use_bias=self.use_bias_out, kernel_init=out_init,
+                        dtype=x.dtype, param_dtype=jnp.float32,
+                        name="out")(h)
+
+
+class CorrectionHead(nn.Module):
+    """LN→Linear→GELU→Dropout→Linear(no bias, zero-init) (:582-589)."""
+    d_hidden: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(x.dtype)
+        return _Head(self.d_hidden, self.dropout, use_bias_out=False,
+                     zero_init_out=True, name="head")(h, train=train)
+
+
+class PatchDualPathologyPerceiver(nn.Module):
+    """K shared pathology queries cross-attend image patches and DuETT
+    hourly tokens; residual fusion on top (reference :538-654)."""
+    cfg: PerceiverConfig
+    d_ts: int
+
+    @nn.compact
+    def __call__(self, ts_tokens: jnp.ndarray, img_patches_proj: jnp.ndarray,
+                 train: bool = False, return_attn: bool = False,
+                 ts_ablation: Optional[str] = None) -> dict:
+        cfg = self.cfg
+        abl = ts_ablation or cfg.ts_ablation
+        if ts_tokens.ndim != 3:
+            raise ValueError(f"ts_tokens must be [B,T+1,d_ts], "
+                             f"got {ts_tokens.shape}")
+        B = ts_tokens.shape[0]
+        dtype = ts_tokens.dtype
+
+        queries = self.param("shared_queries",
+                             nn.initializers.normal(0.02),
+                             (cfg.n_pathologies, cfg.d_latent), jnp.float32)
+        q = jnp.broadcast_to(queries.astype(dtype),
+                             (B, cfg.n_pathologies, cfg.d_latent))
+
+        if abl == "full":
+            ts_sel = ts_tokens
+        elif abl == "hourly_only":
+            ts_sel = ts_tokens[:, :-1, :]
+        elif abl == "rep_only":
+            ts_sel = ts_tokens[:, -1:, :]
+        else:
+            raise ValueError(f"unknown ts_ablation {abl!r}")
+        ts_kv = nn.Dense(cfg.d_latent, dtype=dtype, param_dtype=jnp.float32,
+                         name="ts_proj")(ts_sel)
+
+        img_cross = PerceiverBlock(cfg.n_heads, cfg.dropout, name="img_cross")
+        img_self = PerceiverBlock(cfg.n_heads, cfg.dropout, name="img_self")
+        ts_cross = PerceiverBlock(cfg.n_heads, cfg.dropout, name="ts_cross")
+        ts_self = PerceiverBlock(cfg.n_heads, cfg.dropout, name="ts_self")
+
+        if return_attn:
+            I, img_attn = img_cross(q, img_patches_proj, train=train,
+                                    return_attn=True)
+            Tk, ts_attn = ts_cross(q, ts_kv, train=train, return_attn=True)
+        else:
+            I = img_cross(q, img_patches_proj, train=train)
+            Tk = ts_cross(q, ts_kv, train=train)
+            img_attn = ts_attn = None
+        I = img_self(I, I, train=train)
+        Tk = ts_self(Tk, Tk, train=train)
+
+        img_bias = self.param("image_label_bias", nn.initializers.zeros,
+                              (cfg.n_pathologies,), jnp.float32)
+        ts_bias = self.param("temporal_label_bias", nn.initializers.zeros,
+                             (cfg.n_pathologies,), jnp.float32)
+        beta = self.param("beta", nn.initializers.ones,
+                          (cfg.n_pathologies,), jnp.float32)
+
+        img_logits = _Head(cfg.head_hidden, cfg.head_dropout,
+                           name="image_head")(I, train=train).squeeze(-1)
+        img_logits = img_logits.astype(jnp.float32) + img_bias[None, :]
+        ts_logits = _Head(cfg.head_hidden, cfg.head_dropout,
+                          name="temporal_head")(Tk, train=train).squeeze(-1)
+        ts_logits = ts_logits.astype(jnp.float32) + ts_bias[None, :]
+
+        corr = CorrectionHead(cfg.head_hidden, cfg.head_dropout,
+                              name="correction_head")(
+            Tk, train=train).squeeze(-1).astype(jnp.float32)
+        scaled_corr = beta[None, :] * corr
+        fusion_logits = jax.lax.stop_gradient(img_logits) + scaled_corr
+
+        out = {
+            "img_logits": img_logits,
+            "ts_logits": ts_logits,
+            "fusion_logits": fusion_logits,
+            "img_tokens": I,
+            "ts_tokens": Tk,
+            "fusion_tokens": Tk,
+            "ts_correction": corr,
+            "scaled_correction": scaled_corr,
+        }
+        if return_attn:
+            out["img_attn"] = img_attn
+            out["ts_attn"] = ts_attn
+        return out
+
+
+class DualPathologyPerceiver(nn.Module):
+    """'dual' mode: image branch = frozen pretrained CXR-head logits passed
+    in; temporal branch + residual fusion as above (reference :659-741)."""
+    cfg: PerceiverConfig
+    d_ts: int
+
+    @nn.compact
+    def __call__(self, ts_tokens: jnp.ndarray, img_logits: jnp.ndarray,
+                 train: bool = False, return_attn: bool = False,
+                 ts_ablation: Optional[str] = None) -> dict:
+        cfg = self.cfg
+        abl = ts_ablation or cfg.ts_ablation
+        B = ts_tokens.shape[0]
+        dtype = ts_tokens.dtype
+        queries = self.param("shared_queries", nn.initializers.normal(0.02),
+                             (cfg.n_pathologies, cfg.d_latent), jnp.float32)
+        q = jnp.broadcast_to(queries.astype(dtype),
+                             (B, cfg.n_pathologies, cfg.d_latent))
+        ts_sel = ts_tokens[:, :-1, :] if abl == "hourly_only" else ts_tokens
+        ts_kv = nn.Dense(cfg.d_latent, dtype=dtype, param_dtype=jnp.float32,
+                         name="ts_proj")(ts_sel)
+        ts_cross = PerceiverBlock(cfg.n_heads, cfg.dropout, name="ts_cross")
+        ts_self = PerceiverBlock(cfg.n_heads, cfg.dropout, name="ts_self")
+        if return_attn:
+            Tk, ts_attn = ts_cross(q, ts_kv, train=train, return_attn=True)
+        else:
+            Tk, ts_attn = ts_cross(q, ts_kv, train=train), None
+        Tk = ts_self(Tk, Tk, train=train)
+
+        ts_bias = self.param("temporal_label_bias", nn.initializers.zeros,
+                             (cfg.n_pathologies,), jnp.float32)
+        beta = self.param("beta", nn.initializers.ones,
+                          (cfg.n_pathologies,), jnp.float32)
+        ts_logits = _Head(cfg.head_hidden, cfg.head_dropout,
+                          name="temporal_head")(Tk, train=train).squeeze(-1)
+        ts_logits = ts_logits.astype(jnp.float32) + ts_bias[None, :]
+        corr = CorrectionHead(cfg.head_hidden, cfg.head_dropout,
+                              name="correction_head")(
+            Tk, train=train).squeeze(-1).astype(jnp.float32)
+        scaled_corr = beta[None, :] * corr
+        img_logits = jax.lax.stop_gradient(img_logits.astype(jnp.float32))
+        out = {
+            "img_logits": img_logits,
+            "ts_logits": ts_logits,
+            "fusion_logits": img_logits + scaled_corr,
+            "ts_tokens": Tk,
+            "fusion_tokens": Tk,
+            "ts_correction": corr,
+            "scaled_correction": scaled_corr,
+        }
+        if return_attn:
+            out["ts_attn"] = ts_attn
+        return out

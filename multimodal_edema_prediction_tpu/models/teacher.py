@@ -1,0 +1,102 @@
+"""Teacher: DuETT(TS) + RAD-DINO(CXR) + pathology-query perceiver fusion.
+
+Reference: ``models/main_architecture_duett.py:993-1197``. Two runnable modes:
+
+- ``dual_patch`` (default): ViT patch tokens → img_proj → perceiver
+  cross-attention (reference :1097-1129).
+- ``dual``: ViT CLS → frozen pretrained CXR linear head → per-label logits
+  as the image branch (reference :1047-1071, :1131-1150).
+
+Freezing is expressed functionally: frozen submodules run with
+``train=False`` (dropout off, BN in inference mode — the reference's
+``_set_train_with_frozen_eval``, ``training_duett/engine.py:7-20``) and their
+parameters get zero optimizer updates (``train/optim.py`` frozen group).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import TeacherConfig
+from .duett import DuettEncoder
+from .perceiver import DualPathologyPerceiver, PatchDualPathologyPerceiver
+from .vit import DinoViT
+
+
+class PretrainedCXRHead(nn.Module):
+    """Frozen linear head trained on the 240k-image CXR catalog
+    (cxr_linear_training.ipynb cells 6-13); label re-indexing buffer
+    ``keep_idx`` maps head outputs onto pathology_labels order
+    (reference :1047-1069)."""
+    n_pretrained: int
+    d_img: int = 768
+
+    @nn.compact
+    def __call__(self, cls: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(self.n_pretrained, dtype=cls.dtype,
+                        param_dtype=jnp.float32, name="linear")(cls)
+
+
+class TeacherModel(nn.Module):
+    cfg: TeacherConfig
+    n_pretrained_labels: int = 7     # dual mode only
+
+    @nn.compact
+    def __call__(self, x_in: jnp.ndarray, x_static: jnp.ndarray,
+                 times: jnp.ndarray, pixel_values: jnp.ndarray,
+                 train: bool = False, return_attn: bool = False,
+                 keep_idx: Optional[jnp.ndarray] = None) -> dict:
+        cfg = self.cfg
+        duett_train = train and not cfg.freeze_duett
+        cxr_train = train and not cfg.freeze_cxr
+
+        ts_tokens, _ = DuettEncoder(cfg.duett, name="duett")(
+            x_in, x_static, times, train=duett_train)
+        if cfg.freeze_duett:
+            ts_tokens = jax.lax.stop_gradient(ts_tokens)
+
+        cls, patches = DinoViT(cfg.vit, name="cxr")(
+            pixel_values, train=cxr_train)
+        if cfg.freeze_cxr:
+            cls = jax.lax.stop_gradient(cls)
+            patches = jax.lax.stop_gradient(patches)
+
+        if cfg.perceiver_type == "dual_patch":
+            patches_proj = nn.Dense(cfg.perceiver.d_latent,
+                                    dtype=patches.dtype,
+                                    param_dtype=jnp.float32,
+                                    name="img_proj")(patches)
+            out = PatchDualPathologyPerceiver(
+                cfg.perceiver, cfg.duett.d_representation, name="perceiver")(
+                ts_tokens, patches_proj, train=train, return_attn=return_attn)
+        elif cfg.perceiver_type == "dual":
+            head_logits = PretrainedCXRHead(
+                self.n_pretrained_labels, cfg.d_img,
+                name="pretrained_cxr_head")(cls)
+            head_logits = jax.lax.stop_gradient(head_logits)
+            if keep_idx is not None:
+                head_logits = head_logits[:, keep_idx]
+            out = DualPathologyPerceiver(
+                cfg.perceiver, cfg.duett.d_representation, name="perceiver")(
+                ts_tokens, head_logits, train=train, return_attn=return_attn)
+        else:
+            raise ValueError(f"unknown perceiver_type "
+                             f"{cfg.perceiver_type!r}")
+
+        result = {
+            "main_logit": out["fusion_logits"][:, 0],
+            "img_logits": out["img_logits"],
+            "ts_logits": out["ts_logits"],
+            "fusion_logits": out["fusion_logits"],
+            "ts_correction": out["ts_correction"],
+            "scaled_correction": out["scaled_correction"],
+        }
+        if return_attn:
+            for k in ("img_tokens", "ts_tokens", "fusion_tokens",
+                      "img_attn", "ts_attn"):
+                if k in out:
+                    result[k] = out[k]
+        return result

@@ -1,0 +1,80 @@
+"""Device mesh + sharding rules.
+
+The reference scales with HF Accelerate DDP / Lightning DDP (NCCL all-reduce,
+``training_duett/trainer.py:217-218``). The TPU-native equivalent is GSPMD: a
+``Mesh(("data", "model"))``, batch arrays sharded on ``data``, parameters
+replicated (models are ≤100M) with optional tensor-parallel sharding of the
+ViT's large matmuls on ``model``. XLA inserts the gradient ``psum`` and any
+TP collectives over ICI automatically — there is no hand-written comm layer.
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_data: int = 0, n_model: int = 1,
+                devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data <= 0:
+        n_data = len(devices) // max(n_model, 1)
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Ship a host batch to the mesh, leading axis split over ``data``."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda a: jax.device_put(np.asarray(a), sh), batch)
+
+
+# --- tensor-parallel parameter rules (ViT is the only big matmul owner) ---
+_TP_RULES = (
+    # (path regex, spec) — first match wins. Megatron-style column/row split:
+    # FFN in / qkv projections: split the output features; FFN out / attn out:
+    # split the input features so the pair needs one reduce per block.
+    (re.compile(r"(vit|cxr).*(ff_in|mlp_in)/kernel"), P(None, "model")),
+    (re.compile(r"(vit|cxr).*(ff_in|mlp_in)/bias"), P("model")),
+    (re.compile(r"(vit|cxr).*(ff_out|mlp_out)/kernel"), P("model", None)),
+    (re.compile(r"(vit|cxr).*attn/(q|k|v)/kernel"), P(None, "model")),
+    (re.compile(r"(vit|cxr).*attn/(q|k|v)/bias"), P("model")),
+    (re.compile(r"(vit|cxr).*attn/out/kernel"), P("model", None)),
+)
+
+
+def param_spec(path: str, leaf) -> P:
+    for rx, spec in _TP_RULES:
+        if rx.search(path):
+            if len(spec) <= leaf.ndim:
+                return spec
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put every param with its partition spec (TP where it pays)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def place(path_entries, leaf):
+        path = "/".join(str(getattr(k, "key", k)) for k in path_entries)
+        return jax.device_put(leaf, NamedSharding(mesh, param_spec(path, leaf)))
+
+    placed = {jax.tree_util.keystr(p): place(p, l) for p, l in flat}
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [placed[jax.tree_util.keystr(p)] for p, _ in flat])

@@ -1,0 +1,136 @@
+"""Checkpointing: params + stats + config in one restorable artifact.
+
+Keeps the reference's load-bearing patterns:
+
+- checkpoint-as-config: the full config dict rides in the checkpoint so
+  analysis / KD rebuild the exact architecture
+  (``training_duett/trainer.py:63-71``, ``:770-822``).
+- best-metric selection + top-k retention + weight averaging
+  (``duett/train_duett_finetune.py:56-62,204-207``).
+- tolerant restore that back-fills missing keys and drops shape-mismatched
+  head params for pretrain→finetune surgery (``duett/duett.py:459-487``).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda a: np.asarray(a), tree)
+
+
+def save_checkpoint(path: str, params, batch_stats, step: int, metric: float,
+                    config: Optional[dict] = None, extra: Optional[dict] = None):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": _to_host(params),
+        "batch_stats": _to_host(batch_stats),
+        "step": int(step),
+        "metric": float(metric),
+        "extra": extra or {},
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    if config is not None:
+        with open(path + ".config.json", "w") as f:
+            json.dump(config, f, indent=2, default=str)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    cfg_path = path + ".config.json"
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            payload["config"] = json.load(f)
+    return payload
+
+
+def restore_tolerant(template_params, loaded_params,
+                     skip_prefixes: Sequence[str] = ("head",)) -> Tuple[Any, list]:
+    """Load into a template, back-filling missing keys and skipping
+    shape-mismatched entries under ``skip_prefixes`` (duett.py:459-487)."""
+    changed = []
+
+    def walk(tmpl, loaded, prefix):
+        out = {}
+        for k, tv in tmpl.items():
+            path = f"{prefix}/{k}" if prefix else k
+            if isinstance(tv, dict):
+                lv = loaded.get(k, {}) if isinstance(loaded, dict) else {}
+                out[k] = walk(tv, lv, path)
+            else:
+                lv = loaded.get(k) if isinstance(loaded, dict) else None
+                if lv is None:
+                    changed.append(f"missing:{path}")
+                    out[k] = tv
+                elif np.shape(lv) != np.shape(tv):
+                    if any(path.startswith(p) or f"/{p}" in path
+                           for p in skip_prefixes):
+                        changed.append(f"shape-skip:{path}")
+                        out[k] = tv
+                    else:
+                        raise ValueError(
+                            f"shape mismatch at {path}: "
+                            f"{np.shape(lv)} vs {np.shape(tv)}")
+                else:
+                    out[k] = jnp.asarray(lv, jnp.asarray(tv).dtype)
+        return out
+
+    return walk(template_params, loaded_params, ""), changed
+
+
+def average_params(param_trees: Sequence[Any]):
+    """Top-k weight averaging (train_duett_finetune.py:56-62)."""
+    n = float(len(param_trees))
+    return jax.tree.map(lambda *xs: sum(x.astype(np.float64) for x in xs) / n,
+                        *[_to_host(t) for t in param_trees])
+
+
+class BestKTracker:
+    """Keep the k best checkpoints by a metric (higher- or lower-is-better)."""
+
+    def __init__(self, ckpt_dir: str, k: int = 1, mode: str = "max",
+                 prefix: str = "ckpt"):
+        assert mode in {"max", "min"}
+        self.ckpt_dir = ckpt_dir
+        self.k = k
+        self.mode = mode
+        self.prefix = prefix
+        self.entries: List[Tuple[float, str]] = []  # (metric, path)
+
+    def _better(self, a: float, b: float) -> bool:
+        return a > b if self.mode == "max" else a < b
+
+    @property
+    def best(self) -> Optional[Tuple[float, str]]:
+        return self.entries[0] if self.entries else None
+
+    def offer(self, metric: float, params, batch_stats, step: int,
+              config: Optional[dict] = None) -> bool:
+        """Save if within top-k. Returns True if this is the new best."""
+        if len(self.entries) >= self.k and not self._better(
+                metric, self.entries[-1][0]):
+            return False
+        path = os.path.join(self.ckpt_dir,
+                            f"{self.prefix}-step{step}-{metric:.4f}.msgpack")
+        save_checkpoint(path, params, batch_stats, step, metric, config)
+        self.entries.append((metric, path))
+        self.entries.sort(key=lambda e: e[0], reverse=(self.mode == "max"))
+        while len(self.entries) > self.k:
+            _, drop = self.entries.pop()
+            for p in (drop, drop + ".config.json"):
+                if os.path.exists(p):
+                    os.remove(p)
+        return self.entries[0][1] == path
+
+    def averaged_params(self):
+        trees = [load_checkpoint(p)["params"] for _, p in self.entries]
+        return average_params(trees)

@@ -1,0 +1,272 @@
+"""Jitted per-batch steps (the reference's ``training_duett/engine.py``).
+
+Every step is one XLA program: device-side window gather → augmentation →
+model fwd/bwd → optimizer update. Host work per step is handing over a small
+index/label batch. Steps donate the train state (params/opt buffers update
+in place in HBM).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DuettConfig, TrainConfig
+from ..data.pipeline import gather_windows
+from ..models.duett import feats_to_input, pretrain_prep_batch
+from ..ops import losses as L
+from .state import TrainState
+
+
+def _prep_inputs(grid, static, batch, n_timesteps, dtype, rng=None,
+                 aug_noise=0.0, aug_mask=0.0, train=False):
+    x_ts = gather_windows(grid, batch["stay_rows"], batch["slot_idx"],
+                          n_timesteps)
+    x_static = static[batch["stay_rows"]]
+    x_in, x_static = feats_to_input(rng, x_ts, x_static, aug_noise, aug_mask,
+                                    train=train)
+    return x_in.astype(dtype), x_static.astype(dtype), \
+        batch["bin_ends"].astype(dtype)
+
+
+# =============================================================================
+# Supervised TS-only (student-architecture) training
+# =============================================================================
+def make_supervised_ts_step(model, duett_cfg: DuettConfig,
+                            n_timesteps: int, dtype=jnp.bfloat16,
+                            pos_weight: Optional[float] = None):
+    pw = None if pos_weight is None else jnp.float32(pos_weight)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, grid, static, batch, rng):
+        r_aug, r_drop = jax.random.split(rng)
+        x_in, x_static, times = _prep_inputs(
+            grid, static, batch, n_timesteps, dtype, r_aug,
+            duett_cfg.aug_noise, duett_cfg.aug_mask, train=True)
+
+        def loss_fn(params):
+            logits, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x_in, x_static, times, train=True,
+                rngs={"dropout": r_drop}, mutable=["batch_stats"])
+            loss = L.bce_with_logits(logits, batch["y"], pos_weight=pw)
+            return loss, (mut, logits)
+
+        (loss, (mut, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, mut["batch_stats"])
+        return new_state, {"loss": loss,
+                           "logits": logits.astype(jnp.float32)}
+
+    return step
+
+
+def make_supervised_ts_eval(model, n_timesteps: int, dtype=jnp.bfloat16):
+    @jax.jit
+    def step(params, batch_stats, grid, static, batch):
+        x_in, x_static, times = _prep_inputs(
+            grid, static, batch, n_timesteps, dtype)
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             x_in, x_static, times, train=False)
+        return logits.astype(jnp.float32)
+
+    return step
+
+
+# =============================================================================
+# DuETT SSL pretraining step (duett/duett.py:329-358)
+# =============================================================================
+def make_ssl_step(model, duett_cfg: DuettConfig, n_timesteps: int,
+                  dtype=jnp.bfloat16):
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, grid, static, batch, rng):
+        r_mask, r_drop = jax.random.split(rng)
+        x_ts = gather_windows(grid, batch["stay_rows"], batch["slot_idx"],
+                              n_timesteps)
+        x_static = static[batch["stay_rows"]].astype(dtype)
+        times = batch["bin_ends"].astype(dtype)
+        pb = pretrain_prep_batch(
+            r_mask, x_ts, duett_cfg.pretrain_masked_steps,
+            duett_cfg.pretrain_dropout, duett_cfg.predict_events)
+        pb = pb._replace(x_in=pb.x_in.astype(dtype))
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pb, x_static, times, train=True,
+                rngs={"dropout": r_drop}, mutable=["batch_stats"])
+            parts = L.ssl_pretrain_loss(
+                out["y_hat_value"], out["y_hat_presence"],
+                out["y_hat_events"], out["y_hat_events_presence"],
+                pb.y_value, pb.y_presence_mask, pb.y_events, pb.y_events_mask,
+                pretrain_value=duett_cfg.pretrain_value,
+                pretrain_presence=duett_cfg.pretrain_presence,
+                presence_weight=duett_cfg.pretrain_presence_weight,
+                predict_events=duett_cfg.predict_events)
+            return parts["total"], (mut, parts)
+
+        (loss, (mut, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, mut["batch_stats"])
+        return new_state, {k: v for k, v in parts.items()}
+
+    return step
+
+
+# =============================================================================
+# Teacher (dual_patch / dual) — training_duett/engine.py:135-264
+# =============================================================================
+def default_image_source(batch):
+    return batch["pixel_values"]
+
+
+def make_teacher_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
+                      n_timesteps: int, label_weights,
+                      pos_weight=None, dtype=jnp.bfloat16,
+                      image_source: Callable = default_image_source,
+                      lp_mode: bool = False, lp_beta_l2: float = 0.0,
+                      lp_corr_l2: float = 0.0):
+    """One fused teacher step: window gather + image fetch + fwd/bwd + update.
+
+    ``lp_mode`` reproduces the correction-only linear-probing step
+    (engine.py:196-264): the optimizer must already mask everything except
+    correction_head+beta; this flag adds the L2 regularizers and turns
+    dropout off everywhere (teacher.eval() semantics).
+    """
+    lw = jnp.asarray(label_weights, jnp.float32)
+    pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, grid, static, batch, rng):
+        r_aug, r_drop = jax.random.split(rng)
+        train_flag = not lp_mode
+        x_in, x_static, times = _prep_inputs(
+            grid, static, batch, n_timesteps, dtype, r_aug,
+            duett_cfg.aug_noise, duett_cfg.aug_mask, train=train_flag)
+        pixels = image_source(batch).astype(dtype)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x_in, x_static, times, pixels, train=train_flag,
+                rngs={"dropout": r_drop}, mutable=["batch_stats"])
+            losses = L.dual_pathology_loss(
+                out["img_logits"], out["ts_logits"], out["fusion_logits"],
+                batch["y_multi"], batch["y_multi_mask"], lw, pw,
+                cfg.alpha_img, cfg.alpha_ts, cfg.alpha_fus)
+            total = losses["total"]
+            if cfg.aux_residual_alpha > 0.0:
+                aux = L.aux_residual_kl(out["img_logits"],
+                                        out["scaled_correction"],
+                                        batch["y_multi"],
+                                        batch["y_multi_mask"])
+                losses["aux_residual"] = aux
+                total = total + cfg.aux_residual_alpha * aux
+            if lp_mode:
+                beta = params["perceiver"]["beta"]
+                if lp_beta_l2 > 0:
+                    total = total + lp_beta_l2 * (beta ** 2).mean()
+                if lp_corr_l2 > 0:
+                    total = total + lp_corr_l2 * \
+                        (out["scaled_correction"] ** 2).mean()
+            losses["total"] = total
+            return total, (mut, losses, out)
+
+        (_, (mut, losses, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, mut["batch_stats"])
+        metrics = {k: v for k, v in losses.items()}
+        metrics["main_logit"] = out["main_logit"].astype(jnp.float32)
+        return new_state, metrics
+
+    return step
+
+
+def make_teacher_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
+                      image_source: Callable = default_image_source):
+    @jax.jit
+    def step(params, batch_stats, grid, static, batch):
+        x_in, x_static, times = _prep_inputs(
+            grid, static, batch, n_timesteps, dtype)
+        pixels = image_source(batch).astype(dtype)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          x_in, x_static, times, pixels, train=False)
+        return {k: out[k].astype(jnp.float32)
+                for k in ("main_logit", "img_logits", "ts_logits",
+                          "fusion_logits", "scaled_correction")}
+
+    return step
+
+
+# =============================================================================
+# Student KD (training_duett/engine.py:270-301): one jitted step runs the
+# frozen teacher forward and the student fwd/bwd together.
+# =============================================================================
+def make_kd_step(student_model, teacher_model, cfg: TrainConfig,
+                 duett_cfg: DuettConfig, n_timesteps: int,
+                 dtype=jnp.bfloat16,
+                 image_source: Callable = default_image_source):
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, teacher_params, teacher_stats, grid, static,
+             batch, rng):
+        r_aug, r_drop = jax.random.split(rng)
+        # teacher sees un-augmented inputs (its loader has no aug)
+        x_in_t, x_static_t, times = _prep_inputs(
+            grid, static, batch, n_timesteps, dtype)
+        pixels = image_source(batch).astype(dtype)
+        t_out = teacher_model.apply(
+            {"params": teacher_params, "batch_stats": teacher_stats},
+            x_in_t, x_static_t, times, pixels, train=False)
+        z_t = jax.lax.stop_gradient(t_out["main_logit"])
+
+        x_in, x_static, _ = _prep_inputs(
+            grid, static, batch, n_timesteps, dtype, r_aug,
+            duett_cfg.aug_noise, duett_cfg.aug_mask, train=True)
+
+        def loss_fn(params):
+            z_s, mut = student_model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x_in, x_static, times, train=True,
+                rngs={"dropout": r_drop}, mutable=["batch_stats"])
+            losses = L.student_kd_loss(z_s, z_t, batch["y"],
+                                       cfg.kd_T, cfg.kd_alpha)
+            return losses["total"], (mut, losses, z_s)
+
+        (_, (mut, losses, z_s)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, mut["batch_stats"])
+        out = {k: v for k, v in losses.items()}
+        out["logits"] = z_s.astype(jnp.float32)
+        return new_state, out
+
+    return step
+
+
+def make_ssl_eval(model, duett_cfg: DuettConfig, n_timesteps: int,
+                  dtype=jnp.bfloat16):
+    """Validation loss with deterministic-per-batch masking rng."""
+    @jax.jit
+    def step(params, batch_stats, grid, static, batch, rng):
+        x_ts = gather_windows(grid, batch["stay_rows"], batch["slot_idx"],
+                              n_timesteps)
+        x_static = static[batch["stay_rows"]].astype(dtype)
+        times = batch["bin_ends"].astype(dtype)
+        pb = pretrain_prep_batch(
+            rng, x_ts, duett_cfg.pretrain_masked_steps,
+            duett_cfg.pretrain_dropout, duett_cfg.predict_events)
+        pb = pb._replace(x_in=pb.x_in.astype(dtype))
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          pb, x_static, times, train=False)
+        parts = L.ssl_pretrain_loss(
+            out["y_hat_value"], out["y_hat_presence"], out["y_hat_events"],
+            out["y_hat_events_presence"], pb.y_value, pb.y_presence_mask,
+            pb.y_events, pb.y_events_mask,
+            pretrain_value=duett_cfg.pretrain_value,
+            pretrain_presence=duett_cfg.pretrain_presence,
+            presence_weight=duett_cfg.pretrain_presence_weight,
+            predict_events=duett_cfg.predict_events)
+        return parts
+
+    return step
