@@ -1,0 +1,144 @@
+"""Benchmark: fused CXR+EHR teacher train-step throughput, samples/sec/chip.
+
+Runs the full-size multimodal teacher (DuETT 34-var dual-axis + frozen
+ViT-B/14 @ 518 + pathology perceiver, bf16) as ONE jitted step — device-side
+window gather, procedural image synthesis, fwd/bwd, multi-group AdamW — on
+whatever accelerator `jax.devices()` provides, and prints one JSON line.
+
+``vs_baseline`` anchors against a faithful PyTorch reimplementation of the
+same train step measured on this host's CPU (the reference publishes no
+throughput numbers — BASELINE.md). The torch number is measured once and
+cached in ``BENCH_BASELINE.json``.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
+
+
+def get_torch_baseline() -> dict:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    from benchmarks.torch_baseline import measure_torch_baseline
+    sps = measure_torch_baseline(batch_size=4, n_steps=2)
+    data = {"torch_cpu_teacher_samples_per_sec": sps,
+            "note": "faithful torch reimplementation of the reference "
+                    "teacher train step, measured on this host CPU"}
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(data, f, indent=2)
+    return data
+
+
+def measure_jax_teacher(batch_size: int = 32, n_steps: int = 10,
+                        warmup: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from multimodal_edema_prediction_tpu.config import (TeacherConfig,
+                                                        TrainConfig)
+    from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
+    from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
+    from multimodal_edema_prediction_tpu.train import engine
+    from multimodal_edema_prediction_tpu.train.optim import make_optimizer
+    from multimodal_edema_prediction_tpu.train.state import TrainState
+    from multimodal_edema_prediction_tpu.train.teacher_loop import (
+        init_teacher, make_synthetic_image_source, teacher_frozen_prefixes)
+
+    n_chips = len(jax.devices())
+    mesh = meshlib.create_mesh(n_chips, 1)
+    cfg = TeacherConfig()            # full-size: 34 vars, ViT-B/14 @ 518
+    tcfg = TrainConfig(batch_size=batch_size)
+    T, V, D = cfg.duett.n_timesteps, cfg.duett.n_variables, cfg.duett.d_static
+    K = cfg.perceiver.n_pathologies
+    model = TeacherModel(cfg)
+
+    variables = init_teacher(model, cfg, batch_size, T, jax.random.key(0))
+    tx = make_optimizer(tcfg.optim, total_steps=1000,
+                        frozen_prefixes=teacher_frozen_prefixes(cfg))
+
+    rng = np.random.default_rng(0)
+    n_stays, L = 64, 48
+    with mesh:
+        rep = meshlib.replicated(mesh)
+        params = meshlib.shard_params(variables["params"], mesh)
+        state = TrainState.create(params, variables["batch_stats"], tx)
+        step = engine.make_teacher_step(
+            model, tcfg, cfg.duett, T, np.ones(K, np.float32),
+            dtype=jnp.bfloat16,
+            image_source=make_synthetic_image_source(cfg.vit.image_size))
+        grid = jax.device_put(
+            rng.normal(size=(n_stays, L, 2 * V)).astype(np.float32), rep)
+        static = jax.device_put(
+            rng.normal(size=(n_stays, D)).astype(np.float32), rep)
+        batch = meshlib.shard_batch({
+            "stay_rows": rng.integers(0, n_stays, batch_size).astype(np.int32),
+            "slot_idx": np.full(batch_size, T, np.int32),
+            "image_ids": np.arange(batch_size, dtype=np.int32),
+            "y": rng.integers(0, 2, batch_size).astype(np.float32),
+            "y_multi": rng.integers(0, 2, (batch_size, K)).astype(np.float32),
+            "y_multi_mask": np.ones((batch_size, K), np.float32),
+            "bin_ends": np.broadcast_to(
+                (np.arange(1, T + 1) / 24.0).astype(np.float32),
+                (batch_size, T)).copy(),
+        }, mesh)
+
+        key = jax.random.key(1)
+        for i in range(warmup):
+            key, sub = jax.random.split(key)
+            state, out = step(state, grid, static, batch, sub)
+        jax.block_until_ready(out["total"])
+        t0 = time.time()
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            state, out = step(state, grid, static, batch, sub)
+        jax.block_until_ready(out["total"])
+        dt = time.time() - t0
+
+    sps = batch_size * n_steps / dt
+    return {"samples_per_sec": sps, "samples_per_sec_per_chip": sps / n_chips,
+            "n_chips": n_chips, "batch_size": batch_size,
+            "platform": jax.devices()[0].platform}
+
+
+def measure_preprocess_rows_per_sec() -> float:
+    from multimodal_edema_prediction_tpu.config import DataConfig
+    from multimodal_edema_prediction_tpu.data import pipeline as P
+    from multimodal_edema_prediction_tpu.data import synthetic as S
+    ds = S.make_synthetic(seed=0, n_subjects=400, n_stays=1200,
+                          n_variables=34, min_len=26, max_len=72)
+    meta = P.meta_from_events(ds, DataConfig())
+    n_rows = len(ds.events.slot_idx)
+    t0 = time.time()
+    P.densify_events(ds.events, meta, 72)
+    dt = time.time() - t0
+    return n_rows / dt
+
+
+def main():
+    result = measure_jax_teacher()
+    rows_per_sec = measure_preprocess_rows_per_sec()
+    baseline = get_torch_baseline()
+    ref = baseline["torch_cpu_teacher_samples_per_sec"]
+    print(json.dumps({
+        "metric": "teacher_fused_fwd_bwd_samples_per_sec_per_chip",
+        "value": round(result["samples_per_sec_per_chip"], 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(result["samples_per_sec_per_chip"] / ref, 2),
+        "extra": {
+            "platform": result["platform"],
+            "n_chips": result["n_chips"],
+            "batch_size": result["batch_size"],
+            "total_samples_per_sec": round(result["samples_per_sec"], 3),
+            "preprocess_rows_per_sec": round(rows_per_sec, 1),
+            "baseline": "torch-CPU faithful reimpl (BENCH_BASELINE.json)",
+            "baseline_samples_per_sec": round(ref, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

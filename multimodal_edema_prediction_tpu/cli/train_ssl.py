@@ -1,0 +1,43 @@
+"""DuETT SSL pretraining CLI (reference: duett/train_duett_ssl.py)."""
+from __future__ import annotations
+
+import argparse
+
+from ..data.sliding import build_sliding_ssl_dataset
+from ..train.ssl_loop import train_ssl
+from ..utils.logging import Logger
+from .common import add_common_flags, configs_from_args, load_data, \
+    make_run_dir
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("DuETT SSL pretraining (TPU)")
+    add_common_flags(p)
+    p.add_argument("--stride", type=int, default=12)
+    p.add_argument("--max_stay_hours", type=int, default=336)
+    p.add_argument("--ssl_lr", type=float, default=3e-4)
+    p.add_argument("--ssl_weight_decay", type=float, default=0.1)
+    p.add_argument("--ssl_warmup", type=int, default=2000)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--pretrain_masked_steps", type=int, default=1)
+    args = p.parse_args(argv)
+
+    dcfg, duett, tcfg = configs_from_args(args)
+    duett = duett.replace(pretrain_masked_steps=args.pretrain_masked_steps)
+    run_dir = make_run_dir(args.ckpt_dir, tcfg)
+    log = Logger("duett_ssl", args.wandb_project or None,
+                 args.wandb_run_name or None, tcfg.to_dict())
+    ds, meta, _ = load_data(args, dcfg)
+    ssl_ds = build_sliding_ssl_dataset(ds, meta, dcfg.n_timesteps,
+                                       args.stride, args.max_stay_hours)
+    res = train_ssl(ssl_ds, duett, tcfg, run_dir, lr=args.ssl_lr,
+                    weight_decay=args.ssl_weight_decay,
+                    warmup_steps=args.ssl_warmup, grad_clip=args.grad_clip,
+                    logger=log)
+    log.info(f"best val_loss: {res.best_metric:.4f}  ckpt: {res.best_path}")
+    log.finish()
+    return res
+
+
+if __name__ == "__main__":
+    main()

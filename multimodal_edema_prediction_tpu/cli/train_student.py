@@ -1,0 +1,43 @@
+"""Student KD training CLI (reference: main_train_student_duett.py)."""
+from __future__ import annotations
+
+import argparse
+
+from ..config import StudentConfig
+from ..train.kd_loop import train_student_kd
+from ..utils.logging import Logger
+from .common import add_common_flags, configs_from_args, load_data, \
+    make_run_dir
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("DuETT KD student training (TPU)")
+    add_common_flags(p)
+    p.add_argument("--teacher_ckpt", type=str, required=True)
+    p.add_argument("--student_pool", type=str, default="mean",
+                   choices=["mean", "rep_token"])
+    p.add_argument("--kd_T", type=float, default=4.0)
+    p.add_argument("--kd_alpha", type=float, default=0.5)
+    p.add_argument("--duett_ckpt", type=str, default="",
+                   help="SSL checkpoint for the student backbone")
+    args = p.parse_args(argv)
+
+    dcfg, duett, tcfg = configs_from_args(args)
+    tcfg = tcfg.replace(kd_T=args.kd_T, kd_alpha=args.kd_alpha)
+    student_cfg = StudentConfig(duett=duett, pool=args.student_pool,
+                                head_hidden=args.head_hidden,
+                                head_dropout=args.head_dropout)
+    run_dir = make_run_dir(args.ckpt_dir, tcfg)
+    log = Logger("student", args.wandb_project or None,
+                 args.wandb_run_name or None, tcfg.to_dict())
+    _, meta, anchor_ds = load_data(args, dcfg)
+    res = train_student_kd(anchor_ds, student_cfg, args.teacher_ckpt, tcfg,
+                           run_dir, logger=log,
+                           ssl_backbone_ckpt=args.duett_ckpt or None)
+    log.info(f"best val AUROC: {res.best_metric:.4f}  ckpt: {res.best_path}")
+    log.finish()
+    return res
+
+
+if __name__ == "__main__":
+    main()

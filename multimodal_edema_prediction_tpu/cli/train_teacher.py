@@ -1,0 +1,86 @@
+"""Teacher training CLI (reference: main_train_teacher_duett.py + run.py).
+
+    python -m multimodal_edema_prediction_tpu.cli.train_teacher \
+        --epochs 30 --batch_size 128 [--lp_only_correction --lp_ckpt ...]
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..config import PerceiverConfig, TeacherConfig, ViTConfig
+from ..train.ssl_loop import transplant_encoder
+from ..train.teacher_loop import init_teacher, train_teacher
+from ..utils.logging import Logger
+from .common import add_common_flags, configs_from_args, load_data, \
+    make_run_dir
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("DuETT KD teacher training (TPU)")
+    add_common_flags(p)
+    p.add_argument("--perceiver_type", type=str, default="dual_patch",
+                   choices=["dual_patch", "dual"])
+    p.add_argument("--freeze_duett", action="store_true")
+    p.add_argument("--unfreeze_cxr", action="store_true")
+    p.add_argument("--duett_ckpt", type=str, default="",
+                   help="SSL checkpoint to initialize the DuETT backbone")
+    p.add_argument("--vit_size", type=str, default="base",
+                   choices=["tiny", "base"],
+                   help="'tiny' for smoke runs without RAD-DINO weights")
+    p.add_argument("--lp_only_correction", action="store_true")
+    p.add_argument("--lp_ckpt", type=str, default="")
+    p.add_argument("--lp_beta_l2", type=float, default=1e-3)
+    p.add_argument("--lp_corr_l2", type=float, default=1e-2)
+    args = p.parse_args(argv)
+
+    dcfg, duett, tcfg = configs_from_args(args)
+    vit = ViTConfig() if args.vit_size == "base" else ViTConfig(
+        image_size=56, patch_size=14, d_model=64, n_layers=2, n_heads=2,
+        d_feedforward=128)
+    teacher_cfg = TeacherConfig(
+        duett=duett, vit=vit,
+        perceiver=PerceiverConfig(
+            n_pathologies=len(dcfg.pathology_labels),
+            d_latent=args.d_latent, n_heads=args.n_perceiver_heads,
+            dropout=args.perceiver_dropout, head_hidden=args.head_hidden,
+            head_dropout=args.head_dropout),
+        perceiver_type=args.perceiver_type,
+        freeze_duett=args.freeze_duett, freeze_cxr=not args.unfreeze_cxr)
+
+    run_dir = make_run_dir(args.ckpt_dir, tcfg)
+    log = Logger("teacher", args.wandb_project or None,
+                 args.wandb_run_name or None, tcfg.to_dict())
+    _, meta, anchor_ds = load_data(args, dcfg)
+
+    init_variables = None
+    if args.duett_ckpt:
+        import jax
+        from ..models.teacher import TeacherModel
+        model = TeacherModel(teacher_cfg)
+        init_variables = init_teacher(model, teacher_cfg, tcfg.batch_size,
+                                      dcfg.n_timesteps,
+                                      jax.random.key(tcfg.seed))
+        params, enc_stats, changed = transplant_encoder(
+            args.duett_ckpt, init_variables["params"])
+        init_variables = dict(init_variables)
+        init_variables["params"] = params
+        if enc_stats is not None:
+            bs = dict(init_variables["batch_stats"])
+            bs["duett"] = enc_stats
+            init_variables["batch_stats"] = bs
+        log.info(f"DuETT backbone from {args.duett_ckpt} "
+                 f"({len(changed)} keys adjusted)")
+
+    res = train_teacher(
+        anchor_ds, teacher_cfg, tcfg, run_dir, dcfg.pathology_labels,
+        logger=log, lp_from=args.lp_ckpt if args.lp_only_correction else None,
+        lp_beta_l2=args.lp_beta_l2, lp_corr_l2=args.lp_corr_l2,
+        init_variables=init_variables)
+    log.info(f"best val macro fusion AUROC: {res.best_metric:.4f}  "
+             f"ckpt: {res.best_path}")
+    log.finish()
+    return res
+
+
+if __name__ == "__main__":
+    main()

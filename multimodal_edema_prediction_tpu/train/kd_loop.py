@@ -1,0 +1,153 @@
+"""Student knowledge-distillation loop.
+
+Reference: ``training_duett/trainer.py:828-989``. The teacher is rebuilt from
+its checkpoint's embedded config (checkpoint-as-config,
+``_build_teacher_from_ckpt`` trainer.py:770-822) and frozen; the student is a
+fresh DuETT + head trained with α·BCE + (1−α)·T²·binary-KL. Unlike the
+reference (which only supports ``perceiver_type='dual'`` teachers here), both
+teacher modes distill.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StudentConfig, TeacherConfig, TrainConfig
+from ..data.pipeline import AnchorDataset
+from ..models.student import StudentModel
+from ..models.teacher import TeacherModel
+from ..parallel import mesh as meshlib
+from ..utils.logging import Logger
+from . import engine
+from .checkpoint import BestKTracker, load_checkpoint
+from .loops import EarlyStopper, TrainResult, evaluate_binary_split
+from .optim import make_optimizer
+from .state import TrainState, param_count
+from .teacher_loop import init_teacher, make_synthetic_image_source
+
+
+def load_teacher_from_ckpt(ckpt_path: str):
+    """Rebuild the exact teacher from a saved checkpoint (config rides in the
+    checkpoint sidecar)."""
+    ckpt = load_checkpoint(ckpt_path)
+    if "config" not in ckpt:
+        raise ValueError(f"{ckpt_path} has no config sidecar")
+    tcfg = TeacherConfig.from_dict(ckpt["config"]["model"])
+    model = TeacherModel(tcfg)
+    return model, tcfg, ckpt["params"], ckpt["batch_stats"], ckpt
+
+
+def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
+                     teacher_ckpt: str, cfg: TrainConfig, ckpt_dir: str,
+                     mesh=None, image_source: Optional[Callable] = None,
+                     logger: Optional[Logger] = None,
+                     ssl_backbone_ckpt: Optional[str] = None) -> TrainResult:
+    log = logger or Logger("student_kd")
+    mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
+    dtype = jnp.dtype(cfg.dtype)
+    T = dataset.n_timesteps
+
+    teacher_model, teacher_cfg, t_params, t_stats, t_ckpt = \
+        load_teacher_from_ckpt(teacher_ckpt)
+    log.info(f"teacher from {teacher_ckpt} "
+             f"(metric={t_ckpt['metric']:.4f}, "
+             f"mode={teacher_cfg.perceiver_type})")
+    image_source = image_source or make_synthetic_image_source(
+        teacher_cfg.vit.image_size)
+
+    student = StudentModel(student_cfg)
+    V = student_cfg.duett.n_variables
+    x_in = jnp.zeros((cfg.batch_size, T, 2 * V + 1), dtype)
+    x_static = jnp.zeros((cfg.batch_size, student_cfg.duett.d_static), dtype)
+    times = jnp.zeros((cfg.batch_size, T), dtype)
+    variables = student.init({"params": jax.random.key(cfg.seed)},
+                             x_in, x_static, times)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if ssl_backbone_ckpt:
+        from .ssl_loop import transplant_encoder
+        params, enc_stats, changed = transplant_encoder(ssl_backbone_ckpt,
+                                                        params)
+        if enc_stats is not None:
+            batch_stats = dict(batch_stats)
+            batch_stats["duett"] = enc_stats
+        log.info(f"student backbone from {ssl_backbone_ckpt} "
+                 f"({len(changed)} keys adjusted)")
+    log.info(f"student params: {param_count(params):,}")
+
+    steps_per_epoch = dataset.split_size("train") // cfg.batch_size
+    if cfg.limit_batches > 0:
+        steps_per_epoch = min(steps_per_epoch, cfg.limit_batches)
+    tx = make_optimizer(cfg.optim, max(steps_per_epoch * cfg.epochs, 1))
+    state = TrainState.create(params, batch_stats, tx)
+
+    with mesh:
+        kd_step = engine.make_kd_step(student, teacher_model, cfg,
+                                      student_cfg.duett, T, dtype,
+                                      image_source)
+        eval_step = engine.make_supervised_ts_eval(student, T, dtype)
+        grid = jax.device_put(dataset.grid, meshlib.replicated(mesh))
+        static = jax.device_put(dataset.static, meshlib.replicated(mesh))
+        dataset.grid, dataset.static = grid, static
+        rep = meshlib.replicated(mesh)
+        t_params = jax.device_put(t_params, rep)
+        t_stats = jax.device_put(t_stats, rep)
+
+        stopper = EarlyStopper(cfg.patience, mode="max")
+        tracker = BestKTracker(ckpt_dir, k=1, mode="max", prefix="best")
+        history = []
+        step_rng = jax.random.key(cfg.seed + 1)
+        t0, n_steps = time.time(), 0
+        cfg_dict = {"model": student_cfg.to_dict(), "train": cfg.to_dict(),
+                    "teacher_ckpt": teacher_ckpt}
+
+        for epoch in range(cfg.epochs):
+            run = {"total": 0.0, "bce": 0.0, "kd": 0.0}
+            nb = 0
+            for batch in dataset.iter_batches(
+                    "train", cfg.batch_size, shuffle=True,
+                    seed=cfg.seed + epoch, limit=cfg.limit_batches):
+                batch.pop("valid")
+                dev_batch = meshlib.shard_batch(batch, mesh)
+                step_rng, sub = jax.random.split(step_rng)
+                state, out = kd_step(state, t_params, t_stats, grid, static,
+                                     dev_batch, sub)
+                for k in run:
+                    run[k] += float(out[k])
+                nb += 1
+                n_steps += 1
+
+            val = evaluate_binary_split(eval_step, state.params,
+                                        state.batch_stats, dataset, "val",
+                                        cfg.batch_size, mesh)
+            improved = stopper.update(val["auroc"])
+            if improved:
+                tracker.offer(val["auroc"], state.params, state.batch_stats,
+                              int(state.step), cfg_dict)
+            history.append({"epoch": epoch,
+                            **{f"train_{k}": v / max(nb, 1)
+                               for k, v in run.items()}, **val})
+            log.info(f"epoch {epoch:3d}  loss={run['total']/max(nb,1):.4f} "
+                     f"(bce={run['bce']/max(nb,1):.3f} "
+                     f"kd={run['kd']/max(nb,1):.3f})  "
+                     f"val_auroc={val['auroc']:.4f}"
+                     f"{'  *' if improved else ''}")
+            if stopper.should_stop:
+                break
+
+        elapsed = time.time() - t0
+        best_metric, best_path = tracker.best
+        ckpt = load_checkpoint(best_path)
+        test = evaluate_binary_split(eval_step, ckpt["params"],
+                                     ckpt["batch_stats"], dataset, "test",
+                                     cfg.batch_size, mesh)
+        log.info(f"test: auroc={test['auroc']:.4f} auprc={test['auprc']:.4f}")
+
+    sps = n_steps / max(elapsed, 1e-9)
+    return TrainResult(best_metric=best_metric, best_path=best_path,
+                       history=history, test_metrics=test,
+                       steps_per_sec=sps,
+                       samples_per_sec=sps * cfg.batch_size)

@@ -1,0 +1,142 @@
+"""DuETT SSL pretraining loop (masked value/presence/event reconstruction).
+
+Reference: ``duett/train_duett_ssl.py`` + ``duett/duett.py:329-418``:
+sliding-window samples, invsqrt warmup, grad-clip 1.0, best ckpt by min
+val_loss, and the crucial side artifact — ``meta_with_stats.pkl`` saved next
+to the checkpoints (train_duett_ssl.py:130-135), the contract every
+downstream stage consumes.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import DuettConfig, TrainConfig
+from ..data.sliding import SlidingSSLDataset
+from ..models.duett import DuettPretrainModel
+from ..parallel import mesh as meshlib
+from ..utils.logging import Logger
+from . import engine
+from .checkpoint import BestKTracker, load_checkpoint
+from .loops import EarlyStopper, TrainResult
+from .optim import invsqrt_warmup
+from .state import TrainState, param_count
+
+
+def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
+              cfg: TrainConfig, ckpt_dir: str, mesh=None,
+              lr: float = 3e-4, weight_decay: float = 0.1,
+              warmup_steps: int = 2000, grad_clip: float = 1.0,
+              logger: Optional[Logger] = None) -> TrainResult:
+    log = logger or Logger("duett_ssl")
+    mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
+    dtype = jnp.dtype(cfg.dtype)
+    model = DuettPretrainModel(duett_cfg)
+    T = dataset.n_timesteps
+    V = duett_cfg.n_variables
+
+    # init with a dummy pretrain batch
+    from ..models.duett import PretrainBatch
+    B = cfg.batch_size
+    S = duett_cfg.pretrain_masked_steps
+    pb = PretrainBatch(
+        x_in=jnp.zeros((B, T, 2 * V + 1), dtype),
+        mask_idx=jnp.zeros((B, S), jnp.int32),
+        y_value=jnp.zeros((B, S, V)), y_presence_mask=jnp.zeros((B, S, V)),
+        event_var=jnp.zeros((B,), jnp.int32),
+        y_events=jnp.zeros((B, T)), y_events_mask=jnp.zeros((B, T)))
+    x_static = jnp.zeros((B, duett_cfg.d_static), dtype)
+    times = jnp.zeros((B, T), dtype)
+    variables = model.init({"params": jax.random.key(cfg.seed)}, pb,
+                           x_static, times)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    log.info(f"SSL params: {param_count(params):,}")
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(invsqrt_warmup(lr, warmup_steps),
+                    weight_decay=weight_decay))
+    state = TrainState.create(params, batch_stats, tx)
+
+    with mesh:
+        train_step = engine.make_ssl_step(model, duett_cfg, T, dtype)
+        eval_step = engine.make_ssl_eval(model, duett_cfg, T, dtype)
+        grid = jax.device_put(dataset.grid, meshlib.replicated(mesh))
+        static = jax.device_put(dataset.static, meshlib.replicated(mesh))
+        dataset.grid, dataset.static = grid, static
+
+        tracker = BestKTracker(ckpt_dir, k=1, mode="min", prefix="pretrain")
+        stopper = EarlyStopper(cfg.patience, mode="min")
+        history = []
+        step_rng = jax.random.key(cfg.seed + 1)
+        t0, n_steps = time.time(), 0
+        cfg_dict = {"duett": duett_cfg.to_dict(), "train": cfg.to_dict()}
+
+        # persist the meta contract next to the checkpoints
+        dataset.meta.save(os.path.join(ckpt_dir, "meta_with_stats.pkl"))
+
+        for epoch in range(cfg.epochs):
+            losses = []
+            for batch in dataset.iter_batches(
+                    "train", cfg.batch_size, shuffle=True,
+                    seed=cfg.seed + epoch, limit=cfg.limit_batches):
+                dev_batch = meshlib.shard_batch(batch, mesh)
+                step_rng, sub = jax.random.split(step_rng)
+                state, out = train_step(state, grid, static, dev_batch, sub)
+                losses.append(float(out["total"]))
+                n_steps += 1
+            train_loss = float(np.mean(losses)) if losses else float("nan")
+
+            # validation loss with deterministic per-batch masking rng
+            val_losses = []
+            for i, batch in enumerate(dataset.iter_batches(
+                    "val", cfg.batch_size, shuffle=False,
+                    limit=cfg.limit_batches)):
+                dev_batch = meshlib.shard_batch(batch, mesh)
+                parts = eval_step(state.params, state.batch_stats, grid,
+                                  static, dev_batch,
+                                  jax.random.key(1000 + i))
+                val_losses.append(float(parts["total"]))
+            val_loss = float(np.mean(val_losses)) if val_losses else \
+                float("nan")
+
+            improved = stopper.update(val_loss)
+            if improved:
+                tracker.offer(-val_loss, state.params, state.batch_stats,
+                              int(state.step), cfg_dict)
+            history.append({"epoch": epoch, "train_loss": train_loss,
+                            "val_loss": val_loss})
+            log.info(f"epoch {epoch:3d}  train={train_loss:.4f}  "
+                     f"val={val_loss:.4f}{'  *' if improved else ''}")
+            if stopper.should_stop:
+                break
+
+        elapsed = time.time() - t0
+        best_metric, best_path = tracker.best
+
+    sps = n_steps / max(elapsed, 1e-9)
+    return TrainResult(best_metric=-best_metric, best_path=best_path,
+                       history=history, test_metrics={},
+                       steps_per_sec=sps,
+                       samples_per_sec=sps * cfg.batch_size)
+
+
+def transplant_encoder(ssl_ckpt_path: str, target_params, dest_key: str = "duett"):
+    """Load an SSL checkpoint's encoder into a downstream model's backbone —
+    the ``load_duett_backbone`` equivalent
+    (models/main_architecture_duett.py:98-123, strict=False semantics)."""
+    from .checkpoint import restore_tolerant
+    ckpt = load_checkpoint(ssl_ckpt_path)
+    enc = ckpt["params"]["encoder"]
+    new_backbone, changed = restore_tolerant(target_params[dest_key], enc,
+                                             skip_prefixes=("head",))
+    out = dict(target_params)
+    out[dest_key] = new_backbone
+    stats = ckpt.get("batch_stats", {}).get("encoder", None)
+    return out, stats, changed

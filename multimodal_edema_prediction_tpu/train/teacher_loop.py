@@ -1,0 +1,211 @@
+"""Teacher training loop (dual_patch / dual residual fusion).
+
+Reference: ``training_duett/trainer.py:216-764``. Differences by design:
+- one jitted step fuses gather + both encoders + perceiver + loss + update;
+- frozen modules are frozen functionally (eval-mode forward + zero updates)
+  instead of ``requires_grad`` bookkeeping;
+- validation metric = macro fusion AUROC (trainer.py:560-566), early stop on
+  patience, best-ckpt reload + test with gap tables;
+- LP (correction-only linear probing) is a second invocation with an
+  optimizer mask instead of in-place ``requires_grad`` surgery
+  (trainer.py:169-210).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TeacherConfig, TrainConfig
+from ..data.pipeline import AnchorDataset, synthetic_image_device
+from ..models.teacher import TeacherModel
+from ..models.vit import normalize_image
+from ..parallel import mesh as meshlib
+from ..utils.logging import Logger
+from . import engine
+from .checkpoint import BestKTracker, load_checkpoint, restore_tolerant
+from .evaluator import (evaluate_dual_pathology,
+                        format_dual_pathology_gap_table)
+from .loops import EarlyStopper, TrainResult
+from .optim import default_label_fn, make_optimizer
+from .state import TrainState, param_count
+
+
+def make_synthetic_image_source(image_size: int = 518):
+    """Device-side procedural image source for tests/benchmarks: builds the
+    pixel batch from (image_ids, labels) inside the jitted step."""
+    def source(batch):
+        img = synthetic_image_device(batch["image_ids"], batch["y_multi"],
+                                     size=image_size)
+        return normalize_image(img)
+    return source
+
+
+def teacher_frozen_prefixes(cfg: TeacherConfig) -> tuple:
+    frozen = []
+    if cfg.freeze_cxr:
+        frozen.append("cxr/")
+    if cfg.freeze_duett:
+        frozen.append("duett/")
+    if cfg.perceiver_type == "dual":
+        frozen.append("pretrained_cxr_head/")
+    return tuple(frozen)
+
+
+LP_TRAINABLE = ("perceiver/correction_head", "perceiver/beta")
+
+
+def lp_frozen_label_fn(path: str) -> str:
+    """LP mode: only correction_head + beta train (trainer.py:194-202)."""
+    if any(path.startswith(p) for p in LP_TRAINABLE):
+        return "correction"
+    return "frozen"
+
+
+def init_teacher(model: TeacherModel, cfg: TeacherConfig, batch_size: int,
+                 n_timesteps: int, rng) -> dict:
+    V, D = cfg.duett.n_variables, cfg.duett.d_static
+    S = cfg.vit.image_size
+    x_in = jnp.zeros((batch_size, n_timesteps, 2 * V + 1))
+    x_static = jnp.zeros((batch_size, D))
+    times = jnp.zeros((batch_size, n_timesteps))
+    pixels = jnp.zeros((batch_size, S, S, 3))
+    return model.init({"params": rng}, x_in, x_static, times, pixels)
+
+
+def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
+                  cfg: TrainConfig, ckpt_dir: str,
+                  pathology_labels, mesh=None,
+                  image_source: Optional[Callable] = None,
+                  logger: Optional[Logger] = None,
+                  lp_from: Optional[str] = None,
+                  lp_beta_l2: float = 1e-3, lp_corr_l2: float = 1e-2,
+                  init_variables: Optional[dict] = None) -> TrainResult:
+    log = logger or Logger("teacher")
+    mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
+    dtype = jnp.dtype(cfg.dtype)
+    model = TeacherModel(teacher_cfg)
+    T = dataset.n_timesteps
+    K = len(pathology_labels)
+    lw = np.ones(K, np.float32)   # uniform per-pathology (trainer.py:390-391)
+    image_source = image_source or make_synthetic_image_source(
+        teacher_cfg.vit.image_size)
+    lp_mode = lp_from is not None
+
+    if init_variables is None:
+        variables = init_teacher(model, teacher_cfg, cfg.batch_size, T,
+                                 jax.random.key(cfg.seed))
+    else:
+        variables = init_variables
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if lp_mode:
+        ckpt = load_checkpoint(lp_from)
+        params, changed = restore_tolerant(params, ckpt["params"], ())
+        batch_stats, _ = restore_tolerant(batch_stats, ckpt["batch_stats"], ())
+        log.info(f"[LP] loaded {lp_from} (metric={ckpt['metric']:.4f}); "
+                 f"{len(changed)} keys adjusted")
+
+    log.info(f"params: {param_count(params):,}  mode="
+             f"{teacher_cfg.perceiver_type}  lp={lp_mode}")
+
+    steps_per_epoch = dataset.split_size("train") // cfg.batch_size
+    if cfg.limit_batches > 0:
+        steps_per_epoch = min(steps_per_epoch, cfg.limit_batches)
+    total_steps = max(steps_per_epoch * cfg.epochs, 1)
+    tx = make_optimizer(
+        cfg.optim, total_steps,
+        label_fn=lp_frozen_label_fn if lp_mode else default_label_fn,
+        frozen_prefixes=() if lp_mode else teacher_frozen_prefixes(teacher_cfg))
+    state = TrainState.create(params, batch_stats, tx)
+
+    with mesh:
+        train_step = engine.make_teacher_step(
+            model, cfg, teacher_cfg.duett, T, lw, None, dtype, image_source,
+            lp_mode=lp_mode, lp_beta_l2=lp_beta_l2, lp_corr_l2=lp_corr_l2)
+        eval_step = engine.make_teacher_eval(model, T, dtype, image_source)
+
+        grid = jax.device_put(dataset.grid, meshlib.replicated(mesh))
+        static = jax.device_put(dataset.static, meshlib.replicated(mesh))
+        dataset.grid, dataset.static = grid, static
+
+        stopper = EarlyStopper(cfg.patience, mode="max")
+        tracker = BestKTracker(ckpt_dir, k=1, mode="max", prefix="best")
+        history: List[dict] = []
+        step_rng = jax.random.key(cfg.seed + 1)
+        t_start, n_steps = time.time(), 0
+        cfg_dict = {"model": teacher_cfg.to_dict(), "train": cfg.to_dict(),
+                    "pathology_labels": list(pathology_labels)}
+
+        for epoch in range(cfg.epochs):
+            run = {"total": 0.0, "img_total": 0.0, "ts_total": 0.0,
+                   "fus_total": 0.0}
+            nb = 0
+            for batch in dataset.iter_batches(
+                    "train", cfg.batch_size, shuffle=True,
+                    seed=cfg.seed + epoch, limit=cfg.limit_batches):
+                batch.pop("valid")
+                dev_batch = meshlib.shard_batch(batch, mesh)
+                step_rng, sub = jax.random.split(step_rng)
+                state, out = train_step(state, grid, static, dev_batch, sub)
+                for k in run:
+                    run[k] += float(out[k])
+                nb += 1
+                n_steps += 1
+            beta = np.asarray(state.params["perceiver"]["beta"])
+
+            val = evaluate_dual_pathology(
+                eval_step, state.params, state.batch_stats, dataset, "val",
+                cfg.batch_size, mesh, pathology_labels, beta)
+            improved = stopper.update(val["main_auroc"])
+            if improved:
+                tracker.offer(val["main_auroc"], state.params,
+                              state.batch_stats, int(state.step), cfg_dict)
+            history.append({"epoch": epoch,
+                            **{f"train_{k}": v / max(nb, 1)
+                               for k, v in run.items()},
+                            "val_main_auroc": val["main_auroc"],
+                            "val_main_auprc": val["main_auprc"]})
+            log.info(
+                f"epoch {epoch:3d}  loss={run['total']/max(nb,1):.4f} "
+                f"(img={run['img_total']/max(nb,1):.3f} "
+                f"ts={run['ts_total']/max(nb,1):.3f} "
+                f"fus={run['fus_total']/max(nb,1):.3f})  "
+                f"val_fusROC={val['main_auroc']:.4f}"
+                f"{'  *' if improved else ''}")
+            log.metrics({"val/main_auroc": val["main_auroc"],
+                         "train/loss": run["total"] / max(nb, 1)}, epoch)
+
+            if cfg.eval_train_batches > 0:
+                tr_gap = evaluate_dual_pathology(
+                    eval_step, state.params, state.batch_stats, dataset,
+                    "train", cfg.batch_size, mesh, pathology_labels, beta,
+                    limit=cfg.eval_train_batches)
+                log.info("train-subset gap table:\n"
+                         + format_dual_pathology_gap_table(tr_gap))
+            if stopper.should_stop:
+                log.info(f"early stop at epoch {epoch}")
+                break
+
+        elapsed = time.time() - t_start
+        best_metric, best_path = tracker.best
+        ckpt = load_checkpoint(best_path)
+        beta = np.asarray(ckpt["params"]["perceiver"]["beta"])
+        test = evaluate_dual_pathology(
+            eval_step, ckpt["params"], ckpt["batch_stats"], dataset, "test",
+            cfg.batch_size, mesh, pathology_labels, beta)
+        log.info(f"test: fus macro AUROC={test['main_auroc']:.4f}\n"
+                 + format_dual_pathology_gap_table(test))
+
+    sps = n_steps / max(elapsed, 1e-9)
+    return TrainResult(best_metric=best_metric, best_path=best_path,
+                       history=history,
+                       test_metrics={"main_auroc": test["main_auroc"],
+                                     "main_auprc": test["main_auprc"],
+                                     "per_label": test["per_label"]},
+                       steps_per_sec=sps,
+                       samples_per_sec=sps * cfg.batch_size)

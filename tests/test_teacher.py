@@ -1,0 +1,139 @@
+"""Teacher model + training tests: residual fusion invariants, freezing,
+and a tiny end-to-end training run on the CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_edema_prediction_tpu.config import (DataConfig, DuettConfig,
+                                                    OptimConfig,
+                                                    PerceiverConfig,
+                                                    TeacherConfig, TrainConfig,
+                                                    ViTConfig)
+from multimodal_edema_prediction_tpu.data import pipeline as P
+from multimodal_edema_prediction_tpu.data import synthetic as S
+from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
+from multimodal_edema_prediction_tpu.train.teacher_loop import (
+    init_teacher, make_synthetic_image_source, train_teacher)
+
+TINY = TeacherConfig(
+    duett=DuettConfig(n_variables=8, n_timesteps=24, d_static=18,
+                      d_embedding=8, n_layers=1, d_feedforward=32,
+                      d_hidden_mlp_embedding=16, d_hidden_tab_encoder=16),
+    vit=ViTConfig(image_size=56, patch_size=14, d_model=32, n_layers=2,
+                  n_heads=2, d_feedforward=64),
+    perceiver=PerceiverConfig(n_pathologies=7, d_latent=32, n_heads=2,
+                              dropout=0.1, head_hidden=16),
+)
+
+
+def _inputs(rng, B=4, cfg=TINY):
+    T, V = cfg.duett.n_timesteps, cfg.duett.n_variables
+    x_in = jnp.array(rng.normal(size=(B, T, 2 * V + 1)).astype(np.float32))
+    x_in = x_in.at[..., -1].set(0.0)
+    x_in = x_in.at[..., V:2 * V].set(
+        jnp.abs(jnp.round(x_in[..., V:2 * V] * 2)))
+    x_static = jnp.array(rng.normal(size=(B, 18)).astype(np.float32))
+    times = jnp.broadcast_to(jnp.arange(1, T + 1) / 24.0, (B, T))
+    S_ = cfg.vit.image_size
+    pixels = jnp.array(rng.random((B, S_, S_, 3)).astype(np.float32))
+    return x_in, x_static, times, pixels
+
+
+def test_teacher_forward_shapes_and_zero_init_fusion(rng):
+    model = TeacherModel(TINY)
+    x_in, x_static, times, pixels = _inputs(rng)
+    vars_ = model.init(jax.random.key(0), x_in, x_static, times, pixels)
+    out = model.apply(vars_, x_in, x_static, times, pixels)
+    assert out["img_logits"].shape == (4, 7)
+    assert out["ts_logits"].shape == (4, 7)
+    assert out["fusion_logits"].shape == (4, 7)
+    assert out["main_logit"].shape == (4,)
+    # correction head output layer is zero-init → fusion starts at the anchor
+    np.testing.assert_allclose(np.asarray(out["fusion_logits"]),
+                               np.asarray(out["img_logits"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["scaled_correction"]), 0.0,
+                               atol=1e-7)
+
+
+def test_fusion_gradient_does_not_touch_image_branch(rng):
+    """stop_gradient on the anchor: a fusion-only loss must produce zero
+    grads for image_head and nonzero for correction_head (reference :637-639)."""
+    model = TeacherModel(TINY)
+    x_in, x_static, times, pixels = _inputs(rng)
+    vars_ = model.init(jax.random.key(0), x_in, x_static, times, pixels)
+
+    def loss(p):
+        out = model.apply({**vars_, "params": p}, x_in, x_static, times,
+                          pixels)
+        return (out["fusion_logits"] ** 2).mean()
+
+    g = jax.grad(loss)(vars_["params"])
+    img_head_norm = sum(float(jnp.abs(a).sum()) for a in
+                        jax.tree.leaves(g["perceiver"]["image_head"]))
+    beta_norm = float(jnp.abs(g["perceiver"]["beta"]).sum())
+    corr_norm = sum(float(jnp.abs(a).sum()) for a in
+                    jax.tree.leaves(g["perceiver"]["correction_head"]))
+    assert img_head_norm == 0.0
+    # beta multiplies a zero correction at init → zero grad; the correction
+    # head's inner layers receive gradient through its zero-init output layer.
+    assert corr_norm > 0.0 or beta_norm == 0.0
+
+
+def test_return_attn_shapes(rng):
+    model = TeacherModel(TINY)
+    x_in, x_static, times, pixels = _inputs(rng)
+    vars_ = model.init(jax.random.key(0), x_in, x_static, times, pixels)
+    out = model.apply(vars_, x_in, x_static, times, pixels, return_attn=True)
+    n_patches = TINY.vit.n_patches
+    assert out["img_attn"].shape == (4, 7, n_patches)
+    assert out["ts_attn"].shape == (4, 7, TINY.duett.n_timesteps)  # hourly_only
+    np.testing.assert_allclose(np.asarray(out["ts_attn"].sum(-1)),
+                               np.ones((4, 7)), rtol=1e-4)
+
+
+def test_dual_mode_forward(rng):
+    cfg = TINY.replace(perceiver_type="dual")
+    model = TeacherModel(cfg)
+    x_in, x_static, times, pixels = _inputs(rng)
+    keep_idx = jnp.arange(7)
+    vars_ = model.init(jax.random.key(0), x_in, x_static, times, pixels,
+                       keep_idx=keep_idx)
+    out = model.apply(vars_, x_in, x_static, times, pixels, keep_idx=keep_idx)
+    assert out["fusion_logits"].shape == (4, 7)
+    np.testing.assert_allclose(np.asarray(out["fusion_logits"]),
+                               np.asarray(out["img_logits"]), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_teacher_e2e_learns_and_respects_freezing(tmp_path):
+    ds = S.make_synthetic(seed=0, n_subjects=150, n_stays=400, n_variables=8,
+                          min_len=26, max_len=48, obs_rate=0.5)
+    dcfg = DataConfig()
+    meta = P.meta_from_events(ds, dcfg)
+    anchor_ds = P.build_anchor_dataset(ds, meta, dcfg)
+
+    tcfg = TrainConfig(batch_size=32, epochs=3, patience=3, dtype="float32",
+                       optim=OptimConfig(lr=2e-3, warmup_steps=10,
+                                         weight_decay=1e-4))
+    model = TeacherModel(TINY)
+    variables = init_teacher(model, TINY, tcfg.batch_size,
+                             anchor_ds.n_timesteps, jax.random.key(0))
+    cxr_before = jax.tree.map(np.array, variables["params"]["cxr"])
+
+    res = train_teacher(anchor_ds, TINY, tcfg, str(tmp_path / "run"),
+                        dcfg.pathology_labels, init_variables=variables)
+    assert res.best_metric > 0.55, f"fusion macro AUROC {res.best_metric}"
+    assert "per_label" in res.test_metrics
+
+    from multimodal_edema_prediction_tpu.train.checkpoint import \
+        load_checkpoint
+    ckpt = load_checkpoint(res.best_path)
+    # frozen CXR params must be bit-identical after training
+    after = ckpt["params"]["cxr"]
+    diffs = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a)
+                                                   - np.asarray(b)).max()),
+                         cxr_before, after)
+    assert max(jax.tree.leaves(diffs)) == 0.0
+    # config rides in the checkpoint (checkpoint-as-config)
+    assert ckpt["config"]["model"]["perceiver_type"] == "dual_patch"
