@@ -161,6 +161,7 @@ class ViTConfig(_ConfigBase):
     d_feedforward: int = 3072
     layerscale_init: float = 1.0
     dropout: float = 0.0
+    use_flash_attention: bool = True   # Pallas flash kernel on TPU
 
     @property
     def n_patches(self) -> int:

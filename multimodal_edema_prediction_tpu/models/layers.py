@@ -190,6 +190,7 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     qkv_bias: bool = True
     out_bias: bool = True
+    use_flash: bool = False     # Pallas flash kernel for long sequences
 
     @nn.compact
     def __call__(self, q_in, kv_in, train: bool = False,
@@ -207,15 +208,27 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(x.shape[:-1] + (self.n_heads, dh))
 
         q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * (dh ** -0.5)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-        weights_dropped = nn.Dropout(self.dropout, deterministic=not train)(weights)
-        out = jnp.einsum("...hqk,...khd->...qhd", weights_dropped, v)
+
+        flash_ok = (self.use_flash and not return_weights
+                    and (self.dropout == 0.0 or not train)
+                    and q.ndim == 4 and k.shape[-3] >= 256 and dh >= 64)
+        if flash_ok:
+            from ..ops.attention import flash_mha
+            out = flash_mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                            v.transpose(0, 2, 1, 3), sm_scale=dh ** -0.5)
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * (dh ** -0.5)
+            weights = jax.nn.softmax(logits.astype(jnp.float32),
+                                     axis=-1).astype(q.dtype)
+            dropped = nn.Dropout(self.dropout, deterministic=not train)(weights)
+            out = jnp.einsum("...hqk,...khd->...qhd", dropped, v)
+            if return_weights:
+                out = out.reshape(out.shape[:-2] + (inner,))
+                out = dense(d_model, self.out_bias, "out")(out)
+                return out, weights.mean(axis=-3)  # average over heads
         out = out.reshape(out.shape[:-2] + (inner,))
-        out = dense(d_model, self.out_bias, "out")(out)
-        if return_weights:
-            return out, weights.mean(axis=-3)  # average over heads
-        return out
+        return dense(d_model, self.out_bias, "out")(out)
 
 
 class TransformerEncoderLayer(nn.Module):

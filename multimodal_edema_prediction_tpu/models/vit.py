@@ -45,8 +45,9 @@ class DinoBlock(nn.Module):
         ls_init = nn.initializers.constant(cfg.layerscale_init)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = MultiHeadAttention(cfg.n_heads, cfg.d_model // cfg.n_heads,
-                               cfg.dropout, qkv_bias=True, name="attn")(
-            h, h, train=train).astype(x.dtype)
+                               cfg.dropout, qkv_bias=True,
+                               use_flash=cfg.use_flash_attention,
+                               name="attn")(h, h, train=train).astype(x.dtype)
         ls1 = self.param("layerscale1", ls_init, (cfg.d_model,), jnp.float32)
         x = x + h * ls1.astype(x.dtype)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)

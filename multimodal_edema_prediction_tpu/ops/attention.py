@@ -1,0 +1,67 @@
+"""Fused attention for the hot path (ViT self-attention, 1370 tokens).
+
+XLA's default attention materializes the [B, H, N, N] probability tensor in
+HBM; at N=1370 (518²/14² patches + CLS) that read/write traffic dominates the
+frozen-ViT forward. ``flash_mha`` tiles the softmax(QKᵀ)V contraction in VMEM
+via the Pallas TPU flash-attention kernel, padding N up to a lane multiple
+and masking the padding with segment ids.
+
+Only the forward pass is needed on the hot path (the CXR encoder is frozen
+and stop-gradient'd), but the kernel is differentiable anyway (pallas custom
+VJP inside jax's implementation).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_size"))
+def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              sm_scale: float = 1.0, block_size: int = 128) -> jnp.ndarray:
+    """[B, H, N, D] self/cross attention via the Pallas TPU flash kernel.
+
+    Pads N up to a multiple of ``block_size`` (and at least 2 blocks) with
+    segment-id masking so padded keys contribute zero probability. Falls back
+    to a pure-jax reference off-TPU (keeps CPU tests meaningful).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention, mha_reference)
+
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        return mha_reference(q, k, v, None, sm_scale=sm_scale)
+
+    Nq_p = _round_up(Nq, block_size)
+    Nk_p = _round_up(Nk, block_size)
+
+    def pad_to(x, n):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n - x.shape[2]), (0, 0)))
+
+    qp, kp, vp = pad_to(q, Nq_p), pad_to(k, Nk_p), pad_to(v, Nk_p)
+    seg_q = (jnp.arange(Nq_p) < Nq).astype(jnp.int32)[None].repeat(B, 0)
+    seg_kv = (jnp.arange(Nk_p) < Nk).astype(jnp.int32)[None].repeat(B, 0)
+    sizes = BlockSizes(
+        block_q=min(block_size, Nq_p), block_k_major=min(block_size, Nk_p),
+        block_k=min(block_size, Nk_p), block_b=1,
+        block_q_major_dkv=min(block_size, Nq_p),
+        block_k_major_dkv=min(block_size, Nk_p),
+        block_q_dkv=min(block_size, Nq_p),
+        block_k_dkv=min(block_size, Nk_p),
+        block_q_dq=min(block_size, Nq_p),
+        block_k_dq=min(block_size, Nk_p),
+        block_k_major_dq=min(block_size, Nk_p))
+    out = flash_attention(qp, kp, vp,
+                          segment_ids=SegmentIds(q=seg_q, kv=seg_kv),
+                          causal=False, sm_scale=sm_scale,
+                          block_sizes=sizes)
+    return out[:, :, :Nq, :]

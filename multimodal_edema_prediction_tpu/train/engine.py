@@ -200,6 +200,28 @@ def make_teacher_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
     return step
 
 
+def make_teacher_eval_from_windows(model, dtype=jnp.bfloat16,
+                                   image_source: Callable = default_image_source,
+                                   return_attn: bool = False):
+    """Teacher eval on explicit [B,T,2V] windows (analysis counterfactuals
+    transform the windows on host before calling)."""
+    @jax.jit
+    def step(params, batch_stats, x_ts, x_static, batch):
+        x_in, x_static2 = feats_to_input(None, x_ts.astype(dtype),
+                                         x_static.astype(dtype))
+        pixels = image_source(batch).astype(dtype)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          x_in, x_static2, batch["bin_ends"].astype(dtype),
+                          pixels, train=False, return_attn=return_attn)
+        keys = ["main_logit", "img_logits", "ts_logits", "fusion_logits",
+                "scaled_correction"]
+        if return_attn:
+            keys += ["img_attn", "ts_attn"]
+        return {k: out[k].astype(jnp.float32) for k in keys if k in out}
+
+    return step
+
+
 # =============================================================================
 # Student KD (training_duett/engine.py:270-301): one jitted step runs the
 # frozen teacher forward and the student fwd/bwd together.

@@ -1,0 +1,125 @@
+"""Analysis suite smoke+semantics tests: train a tiny teacher once, then run
+every analysis CLI against its checkpoint."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_edema_prediction_tpu.config import (DataConfig, DuettConfig,
+                                                    OptimConfig,
+                                                    PerceiverConfig,
+                                                    TeacherConfig, TrainConfig,
+                                                    ViTConfig)
+from multimodal_edema_prediction_tpu.data import pipeline as P
+from multimodal_edema_prediction_tpu.data import synthetic as S
+from multimodal_edema_prediction_tpu.train.teacher_loop import train_teacher
+
+TINY = TeacherConfig(
+    duett=DuettConfig(n_variables=8, n_timesteps=24, d_static=18,
+                      d_embedding=8, n_layers=1, d_feedforward=32,
+                      d_hidden_mlp_embedding=16, d_hidden_tab_encoder=16),
+    vit=ViTConfig(image_size=56, patch_size=14, d_model=32, n_layers=1,
+                  n_heads=2, d_feedforward=64),
+    perceiver=PerceiverConfig(n_pathologies=7, d_latent=32, n_heads=2,
+                              dropout=0.1, head_hidden=16))
+
+
+@pytest.fixture(scope="module")
+def teacher_ckpt(tmp_path_factory):
+    ds = S.make_synthetic(seed=0, n_subjects=130, n_stays=400, n_variables=8,
+                          min_len=26, max_len=48, obs_rate=0.5)
+    meta = P.meta_from_events(ds, DataConfig())
+    anchor_ds = P.build_anchor_dataset(ds, meta, DataConfig())
+    run_dir = str(tmp_path_factory.mktemp("teacher"))
+    res = train_teacher(
+        anchor_ds, TINY,
+        TrainConfig(batch_size=32, epochs=2, patience=2, dtype="float32",
+                    optim=OptimConfig(lr=2e-3, warmup_steps=5)),
+        run_dir, DataConfig().pathology_labels)
+    return res.best_path
+
+
+def _flags(ckpt, out_dir, extra=()):
+    return (["--ckpt", ckpt] if ckpt else []) + [
+        "--synthetic_stays", "400", "--n_variables", "8",
+        "--batch_size", "32", "--out_dir", out_dir, "--n_boot", "20",
+    ] + list(extra)
+
+
+@pytest.mark.slow
+def test_diagnose_temporal_usage(teacher_ckpt, tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        diagnose_temporal_usage as D
+    report = D.main(_flags(teacher_ckpt, str(tmp_path),
+                           ["--max_batches", "3"]))
+    assert set(D.CONDITIONS) <= set(report["conditions"])
+    for cond in D.CONDITIONS[1:]:
+        assert "mean_abs_dp_fus" in report["conditions"][cond]
+    assert os.path.exists(tmp_path / "temporal_usage.json")
+    # counterfactual TS must change the ts-branch logits
+    assert report["conditions"]["patient_shuffle"]["mean_abs_dp_fus"] >= 0
+
+
+@pytest.mark.slow
+def test_complementarity(teacher_ckpt, tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import complementarity as C
+    result = C.main(_flags(teacher_ckpt, str(tmp_path)))
+    rows = [r for r in result["per_label"] if r.get("n", 0) > 0]
+    assert rows, "no labels analyzed"
+    for r in rows:
+        cells = (r["both_correct"] + r["image_only_correct"]
+                 + r["ts_only_correct"] + r["both_wrong"])
+        assert cells == r["n"]
+
+
+@pytest.mark.slow
+def test_unimodal_probe_and_feature_cache(teacher_ckpt, tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        unimodal_linear_probe as U
+    cache = str(tmp_path / "feats.npz")
+    results = U.main(_flags(teacher_ckpt, str(tmp_path),
+                            ["--save_features", cache,
+                             "--probe_steps", "60"]))
+    assert os.path.exists(cache)
+    for name in ("cxr_cls", "duett_rep", "duett_hourly_mean",
+                 "duett_multiscale", "duett_attn_pool"):
+        assert np.isfinite(results[name]["macro_auroc"])
+
+
+@pytest.mark.slow
+def test_logit_fusion_probe(teacher_ckpt, tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        logit_fusion_probe as L
+    results = L.main(_flags(teacher_ckpt, str(tmp_path),
+                            ["--probe_steps", "60"]))
+    for kind in L.HEADS:
+        assert np.isfinite(results[kind]["macro_auroc"])
+
+
+@pytest.mark.slow
+def test_residual_by_confidence(teacher_ckpt, tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        residual_by_confidence as R
+    result = R.main(_flags(teacher_ckpt, str(tmp_path)))
+    assert len(result["quartiles"]) >= 2
+
+
+@pytest.mark.slow
+def test_grad_flow_diagnostics(teacher_ckpt, tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        grad_flow_diagnostics as G
+    r = G.main(_flags(teacher_ckpt, str(tmp_path), ["--n_batches", "2"]))
+    # residual fusion: the fusion loss cannot reach the pixels (stop_gradient)
+    assert r["fus_px_input_grad"] < 1e-5
+    assert r["ts_query_grad_norm"] > 0
+    assert np.isfinite(r["query_gram_gap"])
+
+
+def test_trajectory_availability(tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        trajectory_availability as T
+    result = T.main(["--synthetic_stays", "100", "--n_variables", "8",
+                     "--out_dir", str(tmp_path), "--max_samples", "200"])
+    assert result["verdict"] in {"SPARSE", "TRAJECTORY-RICH"}
+    assert len(result["per_var"]) == 8
