@@ -34,8 +34,8 @@ def get_torch_baseline() -> dict:
     return data
 
 
-def measure_jax_teacher(batch_size: int = 32, n_steps: int = 10,
-                        warmup: int = 3) -> dict:
+def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
+                        warmup: int = 3, image_bank_size: int = 256) -> dict:
     import jax
     import jax.numpy as jnp
     from multimodal_edema_prediction_tpu.config import (TeacherConfig,
@@ -46,7 +46,7 @@ def measure_jax_teacher(batch_size: int = 32, n_steps: int = 10,
     from multimodal_edema_prediction_tpu.train.optim import make_optimizer
     from multimodal_edema_prediction_tpu.train.state import TrainState
     from multimodal_edema_prediction_tpu.train.teacher_loop import (
-        init_teacher, make_synthetic_image_source, teacher_frozen_prefixes)
+        init_teacher, make_bank_image_source, teacher_frozen_prefixes)
 
     n_chips = len(jax.devices())
     mesh = meshlib.create_mesh(n_chips, 1)
@@ -66,10 +66,16 @@ def measure_jax_teacher(batch_size: int = 32, n_steps: int = 10,
         rep = meshlib.replicated(mesh)
         params = meshlib.shard_params(variables["params"], mesh)
         state = TrainState.create(params, variables["batch_stats"], tx)
+        # device-resident image bank: the production pipeline prefetches
+        # decoded/normalized images into HBM; the step gathers by id.
+        S = cfg.vit.image_size
+        bank = jax.device_put(
+            rng.random((image_bank_size, S, S, 3), np.float32
+                       ).astype(jnp.bfloat16), rep)
         step = engine.make_teacher_step(
             model, tcfg, cfg.duett, T, np.ones(K, np.float32),
             dtype=jnp.bfloat16,
-            image_source=make_synthetic_image_source(cfg.vit.image_size))
+            image_source=make_bank_image_source(bank))
         grid = jax.device_put(
             rng.normal(size=(n_stays, L, 2 * V)).astype(np.float32), rep)
         static = jax.device_put(

@@ -194,7 +194,9 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, kv_in, train: bool = False,
-                 return_weights: bool = False):
+                 return_weights: bool = False, key_padding_mask=None):
+        """key_padding_mask: [..., K] bool, True = IGNORE that key (torch
+        MultiheadAttention semantics)."""
         d_model = q_in.shape[-1]
         dh = self.d_head or d_model // self.n_heads
         inner = self.n_heads * dh
@@ -210,6 +212,7 @@ class MultiHeadAttention(nn.Module):
         q, k, v = split(q), split(k), split(v)
 
         flash_ok = (self.use_flash and not return_weights
+                    and key_padding_mask is None
                     and (self.dropout == 0.0 or not train)
                     and q.ndim == 4 and k.shape[-3] >= 256 and dh >= 64)
         if flash_ok:
@@ -219,6 +222,9 @@ class MultiHeadAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3)
         else:
             logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * (dh ** -0.5)
+            if key_padding_mask is not None:
+                pad = key_padding_mask[..., None, None, :]   # [...,1,1,K]
+                logits = jnp.where(pad, -1e30, logits)
             weights = jax.nn.softmax(logits.astype(jnp.float32),
                                      axis=-1).astype(q.dtype)
             dropped = nn.Dropout(self.dropout, deterministic=not train)(weights)

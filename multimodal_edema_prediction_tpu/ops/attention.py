@@ -25,7 +25,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_size"))
 def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              sm_scale: float = 1.0, block_size: int = 128) -> jnp.ndarray:
+              sm_scale: float = 1.0, block_size: int = 512) -> jnp.ndarray:
     """[B, H, N, D] self/cross attention via the Pallas TPU flash kernel.
 
     Pads N up to a multiple of ``block_size`` (and at least 2 blocks) with

@@ -94,6 +94,40 @@ def average_params(param_trees: Sequence[Any]):
                         *[_to_host(t) for t in param_trees])
 
 
+def save_train_state(path: str, state, epoch: int, extra: Optional[dict] = None):
+    """Mid-epoch-resumable full train state (params + optimizer + step).
+
+    The reference has NO mid-epoch resume ("resume" = reload best and rerun,
+    SURVEY §5); this adds it: the optimizer state round-trips so training
+    continues bit-exactly from the saved step."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": serialization.to_state_dict(state.opt_state),
+        "extra": extra or {},
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.tree.map(lambda a: np.asarray(a), payload)))
+
+
+def load_train_state(path: str, template_state):
+    """Restore into a freshly built TrainState (same tx/config)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    opt_state = serialization.from_state_dict(template_state.opt_state,
+                                              payload["opt_state"])
+    state = template_state.replace(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        params=jax.tree.map(jnp.asarray, payload["params"]),
+        batch_stats=jax.tree.map(jnp.asarray, payload["batch_stats"]),
+        opt_state=opt_state)
+    return state, int(payload["epoch"]), payload.get("extra", {})
+
+
 class BestKTracker:
     """Keep the k best checkpoints by a metric (higher- or lower-is-better)."""
 

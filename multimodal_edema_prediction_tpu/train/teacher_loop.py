@@ -46,6 +46,17 @@ def make_synthetic_image_source(image_size: int = 518):
     return source
 
 
+def make_bank_image_source(bank):
+    """Gather pixel batches from a device-resident (prefetched) image bank —
+    the production shape of the input pipeline: images land in HBM ahead of
+    the step; the step only indexes them."""
+    n = bank.shape[0]
+
+    def source(batch):
+        return bank[batch["image_ids"] % n]
+    return source
+
+
 def teacher_frozen_prefixes(cfg: TeacherConfig) -> tuple:
     frozen = []
     if cfg.freeze_cxr:

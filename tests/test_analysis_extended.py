@@ -1,0 +1,120 @@
+"""Extended analysis + CXR-head pipeline tests (shared tiny teacher)."""
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_edema_prediction_tpu.config import (DataConfig, DuettConfig,
+                                                    OptimConfig,
+                                                    PerceiverConfig,
+                                                    TeacherConfig, TrainConfig,
+                                                    ViTConfig)
+from multimodal_edema_prediction_tpu.data import pipeline as P
+from multimodal_edema_prediction_tpu.data import synthetic as S
+from multimodal_edema_prediction_tpu.train.teacher_loop import train_teacher
+
+TINY = TeacherConfig(
+    duett=DuettConfig(n_variables=8, n_timesteps=24, d_static=18,
+                      d_embedding=8, n_layers=1, d_feedforward=32,
+                      d_hidden_mlp_embedding=16, d_hidden_tab_encoder=16),
+    vit=ViTConfig(image_size=56, patch_size=14, d_model=32, n_layers=1,
+                  n_heads=2, d_feedforward=64),
+    perceiver=PerceiverConfig(n_pathologies=7, d_latent=32, n_heads=2,
+                              dropout=0.1, head_hidden=16))
+
+
+@pytest.fixture(scope="module")
+def teacher_ckpt(tmp_path_factory):
+    ds = S.make_synthetic(seed=0, n_subjects=130, n_stays=400, n_variables=8,
+                          min_len=26, max_len=48, obs_rate=0.5)
+    meta = P.meta_from_events(ds, DataConfig())
+    anchor_ds = P.build_anchor_dataset(ds, meta, DataConfig())
+    res = train_teacher(
+        anchor_ds, TINY,
+        TrainConfig(batch_size=32, epochs=1, patience=1, dtype="float32",
+                    optim=OptimConfig(lr=2e-3, warmup_steps=5)),
+        str(tmp_path_factory.mktemp("teacher")),
+        DataConfig().pathology_labels)
+    return res.best_path
+
+
+def _flags(ckpt, out_dir, extra=()):
+    return (["--ckpt", ckpt] if ckpt else []) + [
+        "--synthetic_stays", "400", "--n_variables", "8",
+        "--batch_size", "32", "--out_dir", out_dir, "--n_boot", "10",
+    ] + list(extra)
+
+
+@pytest.mark.slow
+def test_conditional_information_probe(teacher_ckpt, tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        conditional_information_probe as C
+    results = C.main(_flags(teacher_ckpt, str(tmp_path),
+                            ["--n_perm", "5"]))
+    for name in C.PROBES[1:]:
+        assert results[name]["evidence"] in {"supported", "suggestive",
+                                             "not_detected"}
+        assert np.isfinite(results[name]["p_conditional_perm"])
+
+
+@pytest.mark.slow
+def test_visualize_pathology_artifacts(teacher_ckpt, tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        visualize_pathology as V
+    V.main(_flags(teacher_ckpt, str(tmp_path), ["--max_batches", "3"]))
+    for fname in ("ts_attention_heatmap.png", "query_cosine.png",
+                  "gap_summary.png", "gap_summary.csv", "query_cosine.csv"):
+        assert os.path.exists(tmp_path / fname), fname
+
+
+@pytest.mark.slow
+def test_trajectory_probe_trains(tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        train_trajectory_probe as T
+    result = T.main(["--synthetic_stays", "300", "--n_variables", "8",
+                     "--batch_size", "32", "--out_dir", str(tmp_path),
+                     "--epochs", "3", "--d_model", "32"])
+    assert np.isfinite(result["test_macro_auroc"])
+    assert result["val_macro_auroc"] > 0.45
+
+
+@pytest.mark.slow
+def test_cxr_head_pipeline_and_why_multimodal(tmp_path):
+    from multimodal_edema_prediction_tpu.cli import train_cxr_head as H
+    result = H.main(["--synthetic_stays", "200", "--vit_size", "tiny",
+                     "--epochs", "30", "--ckpt_dir", str(tmp_path / "head"),
+                     "--feature_cache", str(tmp_path / "cls.npz")])
+    assert result["best_val_macro_auroc"] > 0.5   # images carry labels
+    assert os.path.exists(result["ckpt_path"])
+    assert os.path.exists(tmp_path / "cls.npz")
+
+    # artifact consumable by the dual teacher
+    import jax
+    import jax.numpy as jnp
+    from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
+    from multimodal_edema_prediction_tpu.train.cxr_head_loop import \
+        load_cxr_head_into_teacher
+    from multimodal_edema_prediction_tpu.config import \
+        DEFAULT_PATHOLOGY_LABELS
+    cfg = TINY.replace(perceiver_type="dual")
+    model = TeacherModel(cfg)
+    B, T, V = 4, 24, 8
+    args = (jnp.zeros((B, T, 2 * V + 1)), jnp.zeros((B, 18)),
+            jnp.zeros((B, T)), jnp.zeros((B, 56, 56, 3)))
+    vars_ = model.init(jax.random.key(0), *args, keep_idx=jnp.arange(7))
+    params, keep_idx = load_cxr_head_into_teacher(
+        result["ckpt_path"], vars_["params"], DEFAULT_PATHOLOGY_LABELS)
+    out = model.apply({"params": params,
+                       "batch_stats": vars_["batch_stats"]},
+                      *args, keep_idx=jnp.asarray(keep_idx))
+    assert out["fusion_logits"].shape == (B, 7)
+
+    # ICU-hardness decomposition on the head
+    from multimodal_edema_prediction_tpu.analysis import \
+        why_we_need_multimodal as W
+    r = W.main(["--head_ckpt", result["ckpt_path"], "--vit_size", "tiny",
+                "--synthetic_stays", "200", "--out_dir", str(tmp_path),
+                "--batch_size", "32"])
+    assert r["G0_all"]["n"] == (r["G1_non_icu"]["n"]
+                                + r["G2_icu_unanchored"]["n"]
+                                + r["G3_icu_anchor"]["n"])
