@@ -96,7 +96,11 @@ def test_cxr_head_pipeline_and_why_multimodal(tmp_path):
         load_cxr_head_into_teacher
     from multimodal_edema_prediction_tpu.config import \
         DEFAULT_PATHOLOGY_LABELS
-    cfg = TINY.replace(perceiver_type="dual")
+    # ViT must match the head's feature dim (CLI tiny ViT: d_model=64)
+    cfg = TINY.replace(
+        perceiver_type="dual", d_img=64,
+        vit=ViTConfig(image_size=56, patch_size=14, d_model=64, n_layers=2,
+                      n_heads=2, d_feedforward=128))
     model = TeacherModel(cfg)
     B, T, V = 4, 24, 8
     args = (jnp.zeros((B, T, 2 * V + 1)), jnp.zeros((B, 18)),
