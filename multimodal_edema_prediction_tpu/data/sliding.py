@@ -67,6 +67,38 @@ class SlidingSSLDataset:
                 return
 
 
+@dataclass
+class StayLabelDataset(SlidingSSLDataset):
+    """First-window-per-stay supervised dataset with a per-stay label
+    (MIMICDataset equivalent, duett/mimic_dataset.py:59-91: label =
+    ``death_adm`` from the static frame)."""
+    labels: np.ndarray = None      # [S] aligned with grid rows
+
+    def iter_batches(self, name, batch_size, shuffle, seed=0, limit=0):
+        for b in super().iter_batches(name, batch_size, shuffle, seed, limit):
+            b["y"] = self.labels[b["stay_rows"]]
+            yield b
+
+    def pos_frac(self, name: str = "train") -> float:
+        rows = np.unique(self.samples[name][:, 0])
+        return float(self.labels[rows].mean()) if len(rows) else 0.0
+
+
+def build_stay_label_dataset(dataset, meta: Meta, n_timesteps: int = 24,
+                             max_len: Optional[int] = None
+                             ) -> StayLabelDataset:
+    """One first-`T`h window per stay + death_adm label
+    (prepare_from_raw path, mimic_dataset.py:254-330)."""
+    base = build_sliding_ssl_dataset(dataset, meta, n_timesteps,
+                                     stride=10 ** 9,   # start=0 only
+                                     max_stay_hours=n_timesteps,
+                                     max_len=max_len or n_timesteps)
+    return StayLabelDataset(grid=base.grid, static=base.static,
+                            samples=base.samples, meta=base.meta,
+                            n_timesteps=base.n_timesteps,
+                            labels=dataset.static.death_adm.astype(np.float32))
+
+
 def build_sliding_ssl_dataset(dataset, meta: Meta, n_timesteps: int = 24,
                               stride: int = 12, max_stay_hours: int = 336,
                               max_len: Optional[int] = None
