@@ -43,12 +43,17 @@ class PretrainedCXRHead(nn.Module):
 class TeacherModel(nn.Module):
     cfg: TeacherConfig
     n_pretrained_labels: int = 7     # dual mode only
+    # static label re-indexing for 'dual' mode (head outputs → pathology
+    # order); can also be passed per-call as `keep_idx`.
+    static_keep_idx: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x_in: jnp.ndarray, x_static: jnp.ndarray,
                  times: jnp.ndarray, pixel_values: jnp.ndarray,
                  train: bool = False, return_attn: bool = False,
                  keep_idx: Optional[jnp.ndarray] = None) -> dict:
+        if keep_idx is None and self.static_keep_idx is not None:
+            keep_idx = jnp.asarray(self.static_keep_idx, jnp.int32)
         cfg = self.cfg
         duett_train = train and not cfg.freeze_duett
         cxr_train = train and not cfg.freeze_cxr
