@@ -110,6 +110,62 @@ def measure_jax_teacher(batch_size: int = 32, n_steps: int = 10,
             "platform": jax.devices()[0].platform}
 
 
+def measure_ssl_throughput(batch_size: int = 512, n_steps: int = 10,
+                           warmup: int = 3) -> float:
+    """DuETT SSL pretrain step samples/sec (full dims, no images)."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_edema_prediction_tpu.config import DuettConfig
+    from multimodal_edema_prediction_tpu.models.duett import DuettPretrainModel
+    from multimodal_edema_prediction_tpu.train import engine
+    from multimodal_edema_prediction_tpu.train.optim import simple_adamw
+    from multimodal_edema_prediction_tpu.train.state import TrainState
+    from multimodal_edema_prediction_tpu.models.duett import (
+        PretrainBatch, pretrain_prep_batch)
+
+    cfg = DuettConfig()
+    T, V, D = cfg.n_timesteps, cfg.n_variables, cfg.d_static
+    model = DuettPretrainModel(cfg)
+    pb0 = PretrainBatch(
+        x_in=jnp.zeros((2, T, 2 * V + 1)),
+        mask_idx=jnp.zeros((2, cfg.pretrain_masked_steps), jnp.int32),
+        y_value=jnp.zeros((2, cfg.pretrain_masked_steps, V)),
+        y_presence_mask=jnp.zeros((2, cfg.pretrain_masked_steps, V)),
+        event_var=jnp.zeros((2,), jnp.int32),
+        y_events=jnp.zeros((2, T)), y_events_mask=jnp.zeros((2, T)))
+    variables = jax.jit(model.init)(
+        {"params": jax.random.key(0)}, pb0, jnp.zeros((2, D)),
+        jnp.zeros((2, T)))
+    tx = simple_adamw(3e-4, 0.1, grad_clip=1.0)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    step = engine.make_ssl_step(model, cfg, T, jnp.bfloat16)
+
+    rng_np = np.random.default_rng(0)
+    n_stays, L = 128, 48
+    grid = jnp.asarray(rng_np.normal(size=(n_stays, L, 2 * V))
+                       .astype(np.float32))
+    static = jnp.asarray(rng_np.normal(size=(n_stays, D)).astype(np.float32))
+    batch = {
+        "stay_rows": jnp.asarray(
+            rng_np.integers(0, n_stays, batch_size).astype(np.int32)),
+        "slot_idx": jnp.full((batch_size,), T, jnp.int32),
+        "bin_ends": jnp.broadcast_to(jnp.arange(1, T + 1) / 24.0,
+                                     (batch_size, T)),
+    }
+    key = jax.random.key(1)
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        state, out = step(state, grid, static, batch, sub)
+    jax.block_until_ready(out["total"])
+    t0 = time.time()
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        state, out = step(state, grid, static, batch, sub)
+    jax.block_until_ready(out["total"])
+    return batch_size * n_steps / (time.time() - t0)
+
+
 def measure_preprocess_rows_per_sec() -> float:
     from multimodal_edema_prediction_tpu.config import DataConfig
     from multimodal_edema_prediction_tpu.data import pipeline as P
@@ -126,6 +182,7 @@ def measure_preprocess_rows_per_sec() -> float:
 
 def main():
     result = measure_jax_teacher()
+    ssl_sps = measure_ssl_throughput()
     rows_per_sec = measure_preprocess_rows_per_sec()
     baseline = get_torch_baseline()
     ref = baseline["torch_cpu_teacher_samples_per_sec"]
@@ -139,6 +196,7 @@ def main():
             "n_chips": result["n_chips"],
             "batch_size": result["batch_size"],
             "total_samples_per_sec": round(result["samples_per_sec"], 3),
+            "ssl_pretrain_samples_per_sec": round(ssl_sps, 1),
             "preprocess_rows_per_sec": round(rows_per_sec, 1),
             "baseline": "torch-CPU faithful reimpl (BENCH_BASELINE.json)",
             "baseline_samples_per_sec": round(ref, 3),

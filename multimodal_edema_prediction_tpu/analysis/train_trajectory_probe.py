@@ -77,7 +77,8 @@ def train_probe(anchor_ds, labels, n_vars: int, d_model: int = 128,
     T = anchor_ds.n_timesteps
 
     x0, _ = gather_host_windows(anchor_ds, anchor_ds.splits["train"][:2])
-    variables = model.init({"params": jax.random.key(seed)}, jnp.asarray(x0))
+    variables = jax.jit(model.init)({"params": jax.random.key(seed)},
+                                    jnp.asarray(x0))
     params = variables["params"]
     steps_per_epoch = max(len(anchor_ds.splits["train"]) // batch_size, 1)
     tx = optax.adamw(optax.cosine_decay_schedule(lr,

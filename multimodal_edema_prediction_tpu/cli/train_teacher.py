@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--lp_ckpt", type=str, default="")
     p.add_argument("--lp_beta_l2", type=float, default=1e-3)
     p.add_argument("--lp_corr_l2", type=float, default=1e-2)
+    p.add_argument("--grad_diag_every", type=int, default=0,
+                   help="run read-only gradient-flow diagnostics every N "
+                        "epochs (0 = off)")
+    p.add_argument("--grad_diag_batches", type=int, default=4)
     args = p.parse_args(argv)
 
     dcfg, duett, tcfg = configs_from_args(args)
@@ -75,7 +79,9 @@ def main(argv=None):
         anchor_ds, teacher_cfg, tcfg, run_dir, dcfg.pathology_labels,
         logger=log, lp_from=args.lp_ckpt if args.lp_only_correction else None,
         lp_beta_l2=args.lp_beta_l2, lp_corr_l2=args.lp_corr_l2,
-        init_variables=init_variables)
+        init_variables=init_variables,
+        grad_diag_every=args.grad_diag_every,
+        grad_diag_batches=args.grad_diag_batches)
     log.info(f"best val macro fusion AUROC: {res.best_metric:.4f}  "
              f"ckpt: {res.best_path}")
     log.finish()

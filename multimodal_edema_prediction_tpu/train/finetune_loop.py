@@ -101,7 +101,7 @@ def finetune_duett(ds: StayLabelDataset, duett_cfg: DuettConfig,
                                 fusion_method="rep_token")
         x_in = jnp.zeros((2, ds.n_timesteps,
                           2 * duett_cfg.n_variables + 1), dtype)
-        variables = model.init(
+        variables = jax.jit(model.init)(
             {"params": jax.random.key(seed)}, x_in,
             jnp.zeros((2, duett_cfg.d_static), dtype),
             jnp.zeros((2, ds.n_timesteps), dtype))

@@ -64,7 +64,7 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
     x_in = jnp.zeros((cfg.batch_size, T, 2 * V + 1), dtype)
     x_static = jnp.zeros((cfg.batch_size, student_cfg.duett.d_static), dtype)
     times = jnp.zeros((cfg.batch_size, T), dtype)
-    variables = student.init({"params": jax.random.key(cfg.seed)},
+    variables = jax.jit(student.init)({"params": jax.random.key(cfg.seed)},
                              x_in, x_static, times)
     params, batch_stats = variables["params"], variables["batch_stats"]
     if ssl_backbone_ckpt:

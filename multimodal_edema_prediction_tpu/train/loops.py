@@ -103,7 +103,7 @@ def train_supervised_ts(dataset: AnchorDataset, model_cfg: StudentConfig,
                       2 * model_cfg.duett.n_variables + 1), dtype)
     x_static = jnp.zeros((cfg.batch_size, model_cfg.duett.d_static), dtype)
     times = jnp.asarray(init_batch["bin_ends"], dtype)
-    variables = model.init({"params": rng}, x_in, x_static, times)
+    variables = jax.jit(model.init)({"params": rng}, x_in, x_static, times)
     params, batch_stats = variables["params"], variables["batch_stats"]
     log.info(f"params: {param_count(params):,}")
 

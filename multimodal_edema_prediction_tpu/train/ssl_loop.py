@@ -53,7 +53,7 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
         y_events=jnp.zeros((B, T)), y_events_mask=jnp.zeros((B, T)))
     x_static = jnp.zeros((B, duett_cfg.d_static), dtype)
     times = jnp.zeros((B, T), dtype)
-    variables = model.init({"params": jax.random.key(cfg.seed)}, pb,
+    variables = jax.jit(model.init)({"params": jax.random.key(cfg.seed)}, pb,
                            x_static, times)
     params, batch_stats = variables["params"], variables["batch_stats"]
     log.info(f"SSL params: {param_count(params):,}")

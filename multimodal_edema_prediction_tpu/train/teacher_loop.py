@@ -80,13 +80,19 @@ def lp_frozen_label_fn(path: str) -> str:
 
 def init_teacher(model: TeacherModel, cfg: TeacherConfig, batch_size: int,
                  n_timesteps: int, rng) -> dict:
+    """Initialize parameters. Param shapes are batch-independent, so init
+    runs jitted at batch 2 (eager init would dispatch hundreds of individual
+    ops — pathological under remote-compile TPU backends)."""
+    del batch_size
     V, D = cfg.duett.n_variables, cfg.duett.d_static
     S = cfg.vit.image_size
-    x_in = jnp.zeros((batch_size, n_timesteps, 2 * V + 1))
-    x_static = jnp.zeros((batch_size, D))
-    times = jnp.zeros((batch_size, n_timesteps))
-    pixels = jnp.zeros((batch_size, S, S, 3))
-    return model.init({"params": rng}, x_in, x_static, times, pixels)
+    B = 2
+    x_in = jnp.zeros((B, n_timesteps, 2 * V + 1))
+    x_static = jnp.zeros((B, D))
+    times = jnp.zeros((B, n_timesteps))
+    pixels = jnp.zeros((B, S, S, 3))
+    return jax.jit(model.init)({"params": rng}, x_in, x_static, times,
+                               pixels)
 
 
 def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
@@ -96,7 +102,9 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                   logger: Optional[Logger] = None,
                   lp_from: Optional[str] = None,
                   lp_beta_l2: float = 1e-3, lp_corr_l2: float = 1e-2,
-                  init_variables: Optional[dict] = None) -> TrainResult:
+                  init_variables: Optional[dict] = None,
+                  grad_diag_every: int = 0,
+                  grad_diag_batches: int = 4) -> TrainResult:
     log = logger or Logger("teacher")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
     dtype = jnp.dtype(cfg.dtype)
@@ -198,6 +206,17 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                     limit=cfg.eval_train_batches)
                 log.info("train-subset gap table:\n"
                          + format_dual_pathology_gap_table(tr_gap))
+            # in-loop read-only gradient diagnostics (trainer.py:684-705)
+            if grad_diag_every > 0 and (epoch + 1) % grad_diag_every == 0:
+                from ..analysis.grad_flow_diagnostics import (format_report,
+                                                              run_diagnostics)
+                diag = run_diagnostics(model, state.params,
+                                       state.batch_stats, dataset,
+                                       image_source, "val", cfg.batch_size,
+                                       grad_diag_batches)
+                log.info("grad-flow diagnostics:\n" + format_report(diag))
+                log.metrics({f"grad_diag/{k}": v for k, v in diag.items()
+                             if isinstance(v, float)}, epoch)
             if stopper.should_stop:
                 log.info(f"early stop at epoch {epoch}")
                 break
