@@ -92,6 +92,9 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
                 losses.append(float(out["total"]))
                 n_steps += 1
             train_loss = float(np.mean(losses)) if losses else float("nan")
+            if losses and not np.isfinite(train_loss):
+                raise FloatingPointError(
+                    f"non-finite SSL loss at epoch {epoch}; aborting")
 
             # validation loss with deterministic per-batch masking rng
             val_losses = []

@@ -175,6 +175,11 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                     run[k] += float(out[k])
                 nb += 1
                 n_steps += 1
+            if not np.isfinite(run["total"]):
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch} "
+                    f"(loss={run['total']}); aborting before the optimizer "
+                    "state is poisoned — restore from the last checkpoint")
             beta = np.asarray(state.params["perceiver"]["beta"])
 
             val = evaluate_dual_pathology(
