@@ -180,6 +180,29 @@ def measure_preprocess_rows_per_sec() -> float:
     return n_rows / dt
 
 
+def measure_jpeg_decode_imgs_per_sec(n_images: int = 8,
+                                     side: int = 518) -> float:
+    """Native libjpeg decode+resize+normalize throughput (per host core)."""
+    try:
+        import io
+        from PIL import Image
+        from multimodal_edema_prediction_tpu.data.native_loader import \
+            decode_jpeg_batch_native
+        rng = np.random.default_rng(0)
+        arr = (rng.random((1024, 1024, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+        blobs = [buf.getvalue()] * n_images
+        t0 = time.time()
+        out = decode_jpeg_batch_native(blobs, side, (0.53,) * 3, (0.26,) * 3,
+                                       n_threads=os.cpu_count() or 1)
+        if out is None:
+            return float("nan")
+        return n_images / (time.time() - t0)
+    except Exception:
+        return float("nan")
+
+
 def main():
     result = measure_jax_teacher()
     ssl_sps = measure_ssl_throughput()
@@ -198,6 +221,8 @@ def main():
             "total_samples_per_sec": round(result["samples_per_sec"], 3),
             "ssl_pretrain_samples_per_sec": round(ssl_sps, 1),
             "preprocess_rows_per_sec": round(rows_per_sec, 1),
+            "jpeg_decode_imgs_per_sec_per_core":
+                round(measure_jpeg_decode_imgs_per_sec(), 2),
             "baseline": "torch-CPU faithful reimpl (BENCH_BASELINE.json)",
             "baseline_samples_per_sec": round(ref, 3),
         },
