@@ -174,6 +174,69 @@ class PatchDualPathologyPerceiver(nn.Module):
         return out
 
 
+class PathologyPerceiver(nn.Module):
+    """'single' mode: 4-stage image→self→TS→self pathology-query perceiver
+    emitting stage2 (image-only) and stage4 (multimodal) logits.
+
+    Reconstruction of the reference's commented ``PathologyPerceiver``
+    (models/main_architecture_duett.py:293-399), trained with
+    :func:`..ops.losses.pathology_multilabel_loss`.
+    """
+    cfg: PerceiverConfig
+    d_ts: int
+
+    @nn.compact
+    def __call__(self, ts_tokens: jnp.ndarray, img_patches_proj: jnp.ndarray,
+                 train: bool = False, return_attn: bool = False,
+                 ts_ablation: Optional[str] = None) -> dict:
+        cfg = self.cfg
+        abl = ts_ablation or cfg.ts_ablation
+        B = ts_tokens.shape[0]
+        dtype = ts_tokens.dtype
+        queries = self.param("pathology_queries",
+                             nn.initializers.normal(0.02),
+                             (cfg.n_pathologies, cfg.d_latent), jnp.float32)
+        q = jnp.broadcast_to(queries.astype(dtype),
+                             (B, cfg.n_pathologies, cfg.d_latent))
+        ts_sel = ts_tokens[:, :-1, :] if abl == "hourly_only" else ts_tokens
+        ts_kv = nn.Dense(cfg.d_latent, dtype=dtype, param_dtype=jnp.float32,
+                         name="ts_proj")(ts_sel)
+
+        stage1 = PerceiverBlock(cfg.n_heads, cfg.dropout, name="img_cross")
+        stage2 = PerceiverBlock(cfg.n_heads, cfg.dropout, name="img_self")
+        stage3 = PerceiverBlock(cfg.n_heads, cfg.dropout, name="ts_cross")
+        stage4 = PerceiverBlock(cfg.n_heads, cfg.dropout, name="ts_self")
+        if return_attn:
+            h, img_attn = stage1(q, img_patches_proj, train=train,
+                                 return_attn=True)
+        else:
+            h, img_attn = stage1(q, img_patches_proj, train=train), None
+        h2 = stage2(h, h, train=train)
+        s2_tokens = h2
+        if return_attn:
+            h3, ts_attn = stage3(h2, ts_kv, train=train, return_attn=True)
+        else:
+            h3, ts_attn = stage3(h2, ts_kv, train=train), None
+        s4_tokens = stage4(h3, h3, train=train)
+
+        s2_bias = self.param("stage2_label_bias", nn.initializers.zeros,
+                             (cfg.n_pathologies,), jnp.float32)
+        s4_bias = self.param("stage4_label_bias", nn.initializers.zeros,
+                             (cfg.n_pathologies,), jnp.float32)
+        s2 = _Head(cfg.head_hidden, cfg.head_dropout, name="stage2_head")(
+            s2_tokens, train=train).squeeze(-1).astype(jnp.float32) \
+            + s2_bias[None, :]
+        s4 = _Head(cfg.head_hidden, cfg.head_dropout, name="stage4_head")(
+            s4_tokens, train=train).squeeze(-1).astype(jnp.float32) \
+            + s4_bias[None, :]
+        out = {"stage2_logits": s2, "stage4_logits": s4,
+               "stage2_tokens": s2_tokens, "stage4_tokens": s4_tokens}
+        if return_attn:
+            out["img_attn"] = img_attn
+            out["ts_attn"] = ts_attn
+        return out
+
+
 class DualPathologyPerceiver(nn.Module):
     """'dual' mode: image branch = frozen pretrained CXR-head logits passed
     in; temporal branch + residual fusion as above (reference :659-741)."""

@@ -22,7 +22,8 @@ from flax import linen as nn
 
 from ..config import TeacherConfig
 from .duett import DuettEncoder
-from .perceiver import DualPathologyPerceiver, PatchDualPathologyPerceiver
+from .perceiver import (DualPathologyPerceiver, PathologyPerceiver,
+                        PatchDualPathologyPerceiver)
 from .vit import DinoViT
 
 
@@ -77,6 +78,24 @@ class TeacherModel(nn.Module):
             out = PatchDualPathologyPerceiver(
                 cfg.perceiver, cfg.duett.d_representation, name="perceiver")(
                 ts_tokens, patches_proj, train=train, return_attn=return_attn)
+        elif cfg.perceiver_type == "single":
+            patches_proj = nn.Dense(cfg.perceiver.d_latent,
+                                    dtype=patches.dtype,
+                                    param_dtype=jnp.float32,
+                                    name="img_proj")(patches)
+            out = PathologyPerceiver(
+                cfg.perceiver, cfg.duett.d_representation, name="perceiver")(
+                ts_tokens, patches_proj, train=train, return_attn=return_attn)
+            result = {
+                "main_logit": out["stage4_logits"][:, 0],
+                "stage2_logits": out["stage2_logits"],
+                "stage4_logits": out["stage4_logits"],
+            }
+            if return_attn:
+                for k in ("stage2_tokens", "stage4_tokens", "img_attn",
+                          "ts_attn"):
+                    result[k] = out[k]
+            return result
         elif cfg.perceiver_type == "dual":
             head_logits = PretrainedCXRHead(
                 self.n_pretrained_labels, cfg.d_img,

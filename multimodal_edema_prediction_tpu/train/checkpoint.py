@@ -168,3 +168,14 @@ class BestKTracker:
     def averaged_params(self):
         trees = [load_checkpoint(p)["params"] for _, p in self.entries]
         return average_params(trees)
+
+    def ensure_saved(self, params, batch_stats, step: int,
+                     config: Optional[dict] = None):
+        """Guarantee at least one checkpoint exists (e.g. every epoch's
+        metric was NaN): save the final state with a sentinel metric."""
+        if not self.entries:
+            sentinel = float("-inf") if self.mode == "max" else float("inf")
+            path = os.path.join(self.ckpt_dir,
+                                f"{self.prefix}-step{step}-final.msgpack")
+            save_checkpoint(path, params, batch_stats, step, sentinel, config)
+            self.entries.append((sentinel, path))

@@ -184,6 +184,47 @@ def make_teacher_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
     return step
 
 
+def make_teacher_pathology_step(model, cfg: TrainConfig,
+                                duett_cfg: DuettConfig, n_timesteps: int,
+                                label_weights, pos_weight=None,
+                                dtype=jnp.bfloat16,
+                                alpha_stage2: float = 1.0,
+                                alpha_stage4: float = 0.5,
+                                image_source: Callable = default_image_source):
+    """'single'-mode teacher step: stage2 + stage4 masked multi-label BCE
+    (training_duett/engine.py:94-129)."""
+    lw = jnp.asarray(label_weights, jnp.float32)
+    pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, grid, static, batch, rng):
+        r_aug, r_drop = jax.random.split(rng)
+        x_in, x_static, times = _prep_inputs(
+            grid, static, batch, n_timesteps, dtype, r_aug,
+            duett_cfg.aug_noise, duett_cfg.aug_mask, train=True)
+        pixels = image_source(batch).astype(dtype)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x_in, x_static, times, pixels, train=True,
+                rngs={"dropout": r_drop}, mutable=["batch_stats"])
+            losses = L.pathology_multilabel_loss(
+                out["stage2_logits"], out["stage4_logits"],
+                batch["y_multi"], batch["y_multi_mask"], lw, pw,
+                alpha_stage2, alpha_stage4)
+            return losses["total"], (mut, losses, out)
+
+        (_, (mut, losses, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, mut["batch_stats"])
+        metrics = {k: v for k, v in losses.items()}
+        metrics["main_logit"] = out["main_logit"].astype(jnp.float32)
+        return new_state, metrics
+
+    return step
+
+
 def make_teacher_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
                       image_source: Callable = default_image_source):
     @jax.jit

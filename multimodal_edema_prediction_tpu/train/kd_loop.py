@@ -139,6 +139,8 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                 break
 
         elapsed = time.time() - t0
+        tracker.ensure_saved(state.params, state.batch_stats,
+                             int(state.step), cfg_dict)
         best_metric, best_path = tracker.best
         ckpt = load_checkpoint(best_path)
         test = evaluate_binary_split(eval_step, ckpt["params"],

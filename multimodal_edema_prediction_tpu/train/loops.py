@@ -39,7 +39,11 @@ class EarlyStopper:
         self.bad_epochs = 0
 
     def update(self, metric: float) -> bool:
-        """Returns True if this metric is an improvement."""
+        """Returns True if this metric is an improvement. NaN never improves
+        (a NaN first epoch must not become the 'best' checkpoint)."""
+        if metric != metric:   # NaN
+            self.bad_epochs += 1
+            return False
         improved = (self.best is None
                     or (metric > self.best if self.mode == "max"
                         else metric < self.best))

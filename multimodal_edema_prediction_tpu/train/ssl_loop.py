@@ -96,10 +96,14 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
                 raise FloatingPointError(
                     f"non-finite SSL loss at epoch {epoch}; aborting")
 
-            # validation loss with deterministic per-batch masking rng
+            # validation loss with deterministic per-batch masking rng;
+            # cap the eval batch size so small val splits still produce
+            # at least one full fixed-shape batch
+            val_bs = min(cfg.batch_size,
+                         max(dataset.split_size("val"), 1))
             val_losses = []
             for i, batch in enumerate(dataset.iter_batches(
-                    "val", cfg.batch_size, shuffle=False,
+                    "val", val_bs, shuffle=False,
                     limit=cfg.limit_batches)):
                 dev_batch = meshlib.shard_batch(batch, mesh)
                 parts = eval_step(state.params, state.batch_stats, grid,
@@ -121,6 +125,8 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
                 break
 
         elapsed = time.time() - t0
+        tracker.ensure_saved(state.params, state.batch_stats,
+                             int(state.step), cfg_dict)
         best_metric, best_path = tracker.best
 
     sps = n_steps / max(elapsed, 1e-9)

@@ -227,6 +227,8 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                 break
 
         elapsed = time.time() - t_start
+        tracker.ensure_saved(state.params, state.batch_stats,
+                             int(state.step), cfg_dict)
         best_metric, best_path = tracker.best
         ckpt = load_checkpoint(best_path)
         beta = np.asarray(ckpt["params"]["perceiver"]["beta"])

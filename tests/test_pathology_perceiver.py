@@ -1,0 +1,74 @@
+"""'single' mode (PathologyPerceiver): stage2/stage4 shapes, loss step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_edema_prediction_tpu.config import (DuettConfig,
+                                                    PerceiverConfig,
+                                                    TeacherConfig, TrainConfig,
+                                                    ViTConfig)
+from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
+from multimodal_edema_prediction_tpu.train import engine
+from multimodal_edema_prediction_tpu.train.optim import make_optimizer
+from multimodal_edema_prediction_tpu.train.state import TrainState
+from multimodal_edema_prediction_tpu.train.teacher_loop import \
+    teacher_frozen_prefixes
+
+CFG = TeacherConfig(
+    duett=DuettConfig(n_variables=6, n_timesteps=8, d_static=5,
+                      d_embedding=8, n_layers=1, d_feedforward=32,
+                      d_hidden_mlp_embedding=16, d_hidden_tab_encoder=16),
+    vit=ViTConfig(image_size=28, patch_size=14, d_model=16, n_layers=1,
+                  n_heads=2, d_feedforward=32),
+    perceiver=PerceiverConfig(n_pathologies=4, d_latent=16, n_heads=2,
+                              head_hidden=8),
+    perceiver_type="single")
+
+
+def test_single_mode_forward_and_attn(rng):
+    model = TeacherModel(CFG)
+    B, T, V = 3, 8, 6
+    args = (jnp.array(rng.normal(size=(B, T, 2 * V + 1)).astype(np.float32)),
+            jnp.array(rng.normal(size=(B, 5)).astype(np.float32)),
+            jnp.zeros((B, T)),
+            jnp.array(rng.random((B, 28, 28, 3)).astype(np.float32)))
+    vars_ = model.init(jax.random.key(0), *args)
+    out = model.apply(vars_, *args, return_attn=True)
+    assert out["stage2_logits"].shape == (B, 4)
+    assert out["stage4_logits"].shape == (B, 4)
+    assert out["main_logit"].shape == (B,)
+    assert out["img_attn"].shape == (B, 4, 4)      # 2x2 patches
+    assert out["ts_attn"].shape == (B, 4, T)       # hourly_only
+
+
+def test_single_mode_train_step(rng):
+    model = TeacherModel(CFG)
+    B, T, V, K = 4, 8, 6, 4
+    tcfg = TrainConfig(batch_size=B, dtype="float32")
+    grid = jnp.array(rng.normal(size=(6, 16, 2 * V)).astype(np.float32))
+    static = jnp.array(rng.normal(size=(6, 5)).astype(np.float32))
+    x_in = jnp.zeros((B, T, 2 * V + 1))
+    vars_ = model.init(jax.random.key(0), x_in, static[:B], jnp.zeros((B, T)),
+                       jnp.zeros((B, 28, 28, 3)))
+    tx = make_optimizer(tcfg.optim, 10,
+                        frozen_prefixes=teacher_frozen_prefixes(CFG))
+    state = TrainState.create(vars_["params"], vars_["batch_stats"], tx)
+
+    from multimodal_edema_prediction_tpu.train.teacher_loop import \
+        make_synthetic_image_source
+    step = engine.make_teacher_pathology_step(
+        model, tcfg, CFG.duett, T, np.ones(K, np.float32),
+        dtype=jnp.float32, image_source=make_synthetic_image_source(28))
+    batch = {
+        "stay_rows": jnp.arange(B, dtype=jnp.int32),
+        "slot_idx": jnp.full((B,), T, jnp.int32),
+        "image_ids": jnp.arange(B, dtype=jnp.int32),
+        "y": jnp.zeros(B),
+        "y_multi": jnp.array(rng.integers(0, 2, (B, K)).astype(np.float32)),
+        "y_multi_mask": jnp.ones((B, K)),
+        "bin_ends": jnp.zeros((B, T)),
+    }
+    state2, out = step(state, grid, static, batch, jax.random.key(1))
+    assert np.isfinite(float(out["total"]))
+    assert np.isfinite(float(out["stage2_total"]))
+    assert int(state2.step) == 1
