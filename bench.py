@@ -34,7 +34,7 @@ def get_torch_baseline() -> dict:
     return data
 
 
-def measure_jax_teacher(batch_size: int = 32, n_steps: int = 10,
+def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
                         warmup: int = 3, image_bank_size: int = 32) -> dict:
     import jax
     import jax.numpy as jnp
