@@ -241,6 +241,22 @@ def make_teacher_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
     return step
 
 
+def make_teacher_pathology_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
+                                image_source: Callable = default_image_source):
+    """'single'-mode eval: stage2/stage4 logits."""
+    @jax.jit
+    def step(params, batch_stats, grid, static, batch):
+        x_in, x_static, times = _prep_inputs(
+            grid, static, batch, n_timesteps, dtype)
+        pixels = image_source(batch).astype(dtype)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          x_in, x_static, times, pixels, train=False)
+        return {k: out[k].astype(jnp.float32)
+                for k in ("main_logit", "stage2_logits", "stage4_logits")}
+
+    return step
+
+
 def make_teacher_eval_from_windows(model, dtype=jnp.bfloat16,
                                    image_source: Callable = default_image_source,
                                    return_attn: bool = False):

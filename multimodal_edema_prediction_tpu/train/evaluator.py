@@ -79,6 +79,52 @@ def evaluate_dual_pathology(eval_step, params, batch_stats, dataset,
     }
 
 
+def evaluate_pathology(eval_step, params, batch_stats, dataset, split: str,
+                       batch_size: int, mesh,
+                       pathology_labels: Sequence[str],
+                       limit: int = 0) -> dict:
+    """'single'-mode evaluation: per-label stage2/stage4 AUROC/AUPRC + gaps
+    (evaluator.py:101-160). ``eval_step`` must return stage2/stage4 logits."""
+    acc = {k: [] for k in ("s2", "s4", "y", "mask")}
+    for batch in dataset.iter_batches(split, batch_size, shuffle=False,
+                                      limit=limit):
+        valid = batch.pop("valid") > 0
+        dev_batch = meshlib.shard_batch(batch, mesh)
+        out = eval_step(params, batch_stats, dataset.grid, dataset.static,
+                        dev_batch)
+        acc["s2"].append(np.asarray(out["stage2_logits"])[valid])
+        acc["s4"].append(np.asarray(out["stage4_logits"])[valid])
+        acc["y"].append(batch["y_multi"][valid])
+        acc["mask"].append(batch["y_multi_mask"][valid])
+    o = {k: np.concatenate(v) for k, v in acc.items()}
+    per = M.masked_multilabel_metrics(o["y"], o["mask"],
+                                      {"stage2": o["s2"], "stage4": o["s4"]})
+    for k, r in enumerate(per):
+        r["name"] = pathology_labels[k]
+        r["gap_auroc"] = r["stage4_auroc"] - r["stage2_auroc"]
+        r["gap_auprc"] = r["stage4_auprc"] - r["stage2_auprc"]
+    return {"labels": list(pathology_labels), "n": int(len(o["y"])),
+            "main_auroc": M.macro_mean(per, "stage4_auroc"),
+            "main_auprc": M.macro_mean(per, "stage4_auprc"),
+            "per_label": per}
+
+
+def format_pathology_gap_table(result: dict) -> str:
+    """Console stage2/stage4 gap table (evaluator.py:163-175)."""
+    header = (f"{'label':<22s} {'n':>6s} {'pos':>7s} "
+              f"{'s2_auroc':>10s} {'s4_auroc':>10s} {'gap_ro':>8s} "
+              f"{'s2_auprc':>10s} {'s4_auprc':>10s} {'gap_pr':>8s}")
+    lines = [header]
+    for r in result["per_label"]:
+        lines.append(
+            f"{r['name']:<22s} {r['n_valid']:>6d} {r['pos_frac']:>7.4f} "
+            f"{r['stage2_auroc']:>10.4f} {r['stage4_auroc']:>10.4f} "
+            f"{r['gap_auroc']:>+8.4f} "
+            f"{r['stage2_auprc']:>10.4f} {r['stage4_auprc']:>10.4f} "
+            f"{r['gap_auprc']:>+8.4f}")
+    return "\n".join(lines)
+
+
 def _fmt(v, spec="7.3f"):
     width = spec.split(".")[0].lstrip("+")
     try:

@@ -34,6 +34,30 @@ class Logger:
         if self._wb is not None:
             self._wb.log(data, step=step)
 
+    def alert(self, title: str, text: str = ""):
+        """Crash/condition alert (reference main_train.py:50-82 sends a wandb
+        alert with the traceback on failure)."""
+        print(f"[{self.name}] ALERT: {title}\n{text}", flush=True)
+        if self._wb is not None:
+            try:
+                self._wb.alert(title=title, text=text[:1024])
+            except Exception:
+                pass
+
     def finish(self):
         if self._wb is not None:
             self._wb.finish()
+
+
+def run_with_crash_alert(main_fn, logger: "Logger"):
+    """Run a CLI main; on exception, emit an alert with the traceback before
+    re-raising (reference main_train.py crash handling)."""
+    import traceback
+    try:
+        return main_fn()
+    except Exception as e:
+        logger.alert(f"run crashed: {type(e).__name__}",
+                     traceback.format_exc())
+        raise
+    finally:
+        logger.finish()
