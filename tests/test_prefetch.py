@@ -32,7 +32,7 @@ def test_prefetch_propagates_errors():
     mesh = meshlib.create_mesh()
 
     def bad():
-        yield {"x": np.zeros((4, 2), np.float32)}
+        yield {"x": np.zeros((8, 2), np.float32)}   # divisible by 8 devices
         raise ValueError("boom")
 
     it = prefetch(bad(), mesh)
