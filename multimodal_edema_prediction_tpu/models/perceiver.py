@@ -174,6 +174,60 @@ class PatchDualPathologyPerceiver(nn.Module):
         return out
 
 
+class TemporalPerceiver(nn.Module):
+    """'legacy' mode: N learnable latent queries interleave cross-attention
+    over the (already projected) image kv and the DuETT tokens, then mean-pool
+    to one fused vector.
+
+    Reconstruction of the reference's commented ``TemporalPerceiver`` variant
+    3 — the image-first interleaving the legacy TeacherModel path consumes
+    (models/main_architecture_duett.py:281-290, :1179-1191).
+    """
+    cfg: PerceiverConfig
+    d_ts: int
+    n_latents: int = 16
+    n_layers: int = 2
+
+    @nn.compact
+    def __call__(self, ts_tokens: jnp.ndarray, img_kv_proj: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        B = ts_tokens.shape[0]
+        dtype = ts_tokens.dtype
+        latents = self.param("latents", nn.initializers.normal(0.02),
+                             (self.n_latents, cfg.d_latent), jnp.float32)
+        h = jnp.broadcast_to(latents.astype(dtype),
+                             (B, self.n_latents, cfg.d_latent))
+        ts_kv = nn.Dense(cfg.d_latent, dtype=dtype, param_dtype=jnp.float32,
+                         name="ts_proj")(ts_tokens)
+        for i in range(self.n_layers):
+            h = PerceiverBlock(cfg.n_heads, cfg.dropout,
+                               name=f"img_block_{i}")(h, img_kv_proj,
+                                                      train=train)
+            h = PerceiverBlock(cfg.n_heads, cfg.dropout,
+                               name=f"ts_block_{i}")(h, ts_kv, train=train)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm_out")(h).astype(dtype)
+        return h.mean(axis=1)
+
+
+def adaptive_avg_pool_tokens(patches: jnp.ndarray, out_hw: int = 7
+                             ) -> jnp.ndarray:
+    """[B, g², D] patch tokens → [B, out_hw², D] via torch-style adaptive
+    average pooling (reference :1156-1161: 37×37 → 7×7)."""
+    B, N, D = patches.shape
+    g = int(N ** 0.5)
+    x = patches.reshape(B, g, g, D)
+    rows = []
+    for i in range(out_hw):
+        r0, r1 = (i * g) // out_hw, -(-((i + 1) * g) // out_hw)
+        cols = []
+        for j in range(out_hw):
+            c0, c1 = (j * g) // out_hw, -(-((j + 1) * g) // out_hw)
+            cols.append(x[:, r0:r1, c0:c1, :].mean(axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.concatenate(rows, axis=1)                      # [B, 49, D]
+
+
 class PathologyPerceiver(nn.Module):
     """'single' mode: 4-stage image→self→TS→self pathology-query perceiver
     emitting stage2 (image-only) and stage4 (multimodal) logits.

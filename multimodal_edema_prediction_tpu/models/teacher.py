@@ -23,7 +23,8 @@ from flax import linen as nn
 from ..config import TeacherConfig
 from .duett import DuettEncoder
 from .perceiver import (DualPathologyPerceiver, PathologyPerceiver,
-                        PatchDualPathologyPerceiver)
+                        PatchDualPathologyPerceiver, TemporalPerceiver,
+                        adaptive_avg_pool_tokens)
 from .vit import DinoViT
 
 
@@ -95,6 +96,36 @@ class TeacherModel(nn.Module):
                 for k in ("stage2_tokens", "stage4_tokens", "img_attn",
                           "ts_attn"):
                     result[k] = out[k]
+            return result
+        elif cfg.perceiver_type == "legacy":
+            # 37×37 patches → 7×7 adaptive pool, CLS prepended (:1152-1181)
+            img_tokens = adaptive_avg_pool_tokens(patches, 7)
+            img_kv = jnp.concatenate([cls[:, None, :], img_tokens], axis=1)
+            img_kv_proj = nn.Dense(cfg.perceiver.d_latent,
+                                   dtype=img_kv.dtype,
+                                   param_dtype=jnp.float32,
+                                   name="img_proj")(img_kv)
+            fused = TemporalPerceiver(
+                cfg.perceiver, cfg.duett.d_representation,
+                name="perceiver")(ts_tokens, img_kv_proj, train=train)
+            h = nn.Dense(128, dtype=fused.dtype, param_dtype=jnp.float32,
+                         name="head_in")(fused)
+            h = nn.gelu(h)
+            h = nn.Dropout(cfg.perceiver.head_dropout,
+                           deterministic=not train)(h)
+            main = nn.Dense(1, dtype=fused.dtype, param_dtype=jnp.float32,
+                            name="head_out")(h).squeeze(-1)
+            result = {"main_logit": main.astype(jnp.float32)}
+            # auxiliary CXR-only head on the projected CLS (:1187-1190)
+            cxr_summary = img_kv_proj[:, 0]
+            a = nn.Dense(128, dtype=fused.dtype, param_dtype=jnp.float32,
+                         name="aux_in")(cxr_summary)
+            a = nn.gelu(a)
+            a = nn.Dropout(cfg.perceiver.head_dropout,
+                           deterministic=not train)(a)
+            result["aux_logit"] = nn.Dense(
+                1, dtype=fused.dtype, param_dtype=jnp.float32,
+                name="aux_out")(a).squeeze(-1).astype(jnp.float32)
             return result
         elif cfg.perceiver_type == "dual":
             head_logits = PretrainedCXRHead(

@@ -241,6 +241,40 @@ def make_teacher_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
     return step
 
 
+def make_teacher_legacy_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
+                             n_timesteps: int, dtype=jnp.bfloat16,
+                             aux_alpha: float = 0.0,
+                             image_source: Callable = default_image_source):
+    """'legacy'-mode teacher step: main BCE (+ aux CXR-head BCE)
+    (training_duett/engine.py:42-73)."""
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, grid, static, batch, rng):
+        r_aug, r_drop = jax.random.split(rng)
+        x_in, x_static, times = _prep_inputs(
+            grid, static, batch, n_timesteps, dtype, r_aug,
+            duett_cfg.aug_noise, duett_cfg.aug_mask, train=True)
+        pixels = image_source(batch).astype(dtype)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x_in, x_static, times, pixels, train=True,
+                rngs={"dropout": r_drop}, mutable=["batch_stats"])
+            main_loss = L.bce_with_logits(out["main_logit"], batch["y"])
+            aux_loss = L.bce_with_logits(out["aux_logit"], batch["y"]) \
+                if aux_alpha > 0 else 0.0
+            total = main_loss + aux_alpha * aux_loss
+            return total, (mut, {"loss": total, "main_loss": main_loss,
+                                 "aux_loss": aux_loss,
+                                 "logits": out["main_logit"]})
+
+        (_, (mut, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, mut["batch_stats"]), metrics
+
+    return step
+
+
 def make_teacher_pathology_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
                                 image_source: Callable = default_image_source):
     """'single'-mode eval: stage2/stage4 logits."""
