@@ -142,11 +142,69 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
         frozen_prefixes=() if lp_mode else teacher_frozen_prefixes(teacher_cfg))
     state = TrainState.create(params, batch_stats, tx)
 
+    mode = teacher_cfg.perceiver_type
+    uses_dual = mode in ("dual_patch", "dual")
+
     with mesh:
-        train_step = engine.make_teacher_step(
-            model, cfg, teacher_cfg.duett, T, lw, None, dtype, image_source,
-            lp_mode=lp_mode, lp_beta_l2=lp_beta_l2, lp_corr_l2=lp_corr_l2)
-        eval_step = engine.make_teacher_eval(model, T, dtype, image_source)
+        if uses_dual:
+            train_step = engine.make_teacher_step(
+                model, cfg, teacher_cfg.duett, T, lw, None, dtype,
+                image_source, lp_mode=lp_mode, lp_beta_l2=lp_beta_l2,
+                lp_corr_l2=lp_corr_l2)
+            eval_step = engine.make_teacher_eval(model, T, dtype,
+                                                 image_source)
+            loss_keys = ("total", "img_total", "ts_total", "fus_total")
+        elif mode == "single":
+            train_step = engine.make_teacher_pathology_step(
+                model, cfg, teacher_cfg.duett, T, lw, None, dtype,
+                image_source=image_source)
+            eval_step = engine.make_teacher_pathology_eval(
+                model, T, dtype, image_source)
+            loss_keys = ("total", "stage2_total", "stage4_total")
+        elif mode == "legacy":
+            train_step = engine.make_teacher_legacy_step(
+                model, cfg, teacher_cfg.duett, T, dtype,
+                aux_alpha=cfg.alpha_img, image_source=image_source)
+            eval_step = engine.make_supervised_ts_eval  # placeholder below
+            loss_keys = ("loss", "main_loss", "aux_loss")
+
+            @jax.jit
+            def legacy_eval(params, batch_stats, grid, static, batch):
+                from ..data.pipeline import gather_windows
+                from ..models.duett import feats_to_input
+                x_ts = gather_windows(grid, batch["stay_rows"],
+                                      batch["slot_idx"], T)
+                x_static = static[batch["stay_rows"]].astype(dtype)
+                x_in, x_static = feats_to_input(None, x_ts.astype(dtype),
+                                                x_static)
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x_in, x_static, batch["bin_ends"].astype(dtype),
+                    image_source(batch).astype(dtype), train=False)
+                return out["main_logit"].astype(jnp.float32)
+
+            eval_step = legacy_eval
+        else:
+            raise ValueError(f"unknown perceiver_type {mode!r}")
+
+        def run_eval(params, batch_stats, split, beta, limit=0):
+            if uses_dual:
+                r = evaluate_dual_pathology(
+                    eval_step, params, batch_stats, dataset, split,
+                    cfg.batch_size, mesh, pathology_labels, beta, limit=limit)
+                return r, r["main_auroc"], format_dual_pathology_gap_table(r)
+            if mode == "single":
+                from .evaluator import (evaluate_pathology,
+                                        format_pathology_gap_table)
+                r = evaluate_pathology(eval_step, params, batch_stats,
+                                       dataset, split, cfg.batch_size, mesh,
+                                       pathology_labels, limit=limit)
+                return r, r["main_auroc"], format_pathology_gap_table(r)
+            from .loops import evaluate_binary_split
+            r = evaluate_binary_split(eval_step, params, batch_stats,
+                                      dataset, split, cfg.batch_size, mesh,
+                                      limit=limit)
+            return r, r["auroc"], f"binary: {r}"
 
         grid = jax.device_put(dataset.grid, meshlib.replicated(mesh))
         static = jax.device_put(dataset.static, meshlib.replicated(mesh))
@@ -161,8 +219,7 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                     "pathology_labels": list(pathology_labels)}
 
         for epoch in range(cfg.epochs):
-            run = {"total": 0.0, "img_total": 0.0, "ts_total": 0.0,
-                   "fus_total": 0.0}
+            run = {k: 0.0 for k in loss_keys}
             nb = 0
             for batch in dataset.iter_batches(
                     "train", cfg.batch_size, shuffle=True,
@@ -175,42 +232,40 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                     run[k] += float(out[k])
                 nb += 1
                 n_steps += 1
-            if not np.isfinite(run["total"]):
+            if not np.isfinite(run[loss_keys[0]]):
                 raise FloatingPointError(
                     f"non-finite training loss at epoch {epoch} "
-                    f"(loss={run['total']}); aborting before the optimizer "
-                    "state is poisoned — restore from the last checkpoint")
-            beta = np.asarray(state.params["perceiver"]["beta"])
+                    f"(loss={run[loss_keys[0]]}); aborting before the "
+                    "optimizer state is poisoned — restore from the last "
+                    "checkpoint")
+            beta = (np.asarray(state.params["perceiver"]["beta"])
+                    if uses_dual else None)
 
-            val = evaluate_dual_pathology(
-                eval_step, state.params, state.batch_stats, dataset, "val",
-                cfg.batch_size, mesh, pathology_labels, beta)
-            improved = stopper.update(val["main_auroc"])
+            val, val_metric, _ = run_eval(state.params, state.batch_stats,
+                                          "val", beta)
+            improved = stopper.update(val_metric)
             if improved:
-                tracker.offer(val["main_auroc"], state.params,
+                tracker.offer(val_metric, state.params,
                               state.batch_stats, int(state.step), cfg_dict)
             history.append({"epoch": epoch,
                             **{f"train_{k}": v / max(nb, 1)
                                for k, v in run.items()},
-                            "val_main_auroc": val["main_auroc"],
-                            "val_main_auprc": val["main_auprc"]})
-            log.info(
-                f"epoch {epoch:3d}  loss={run['total']/max(nb,1):.4f} "
-                f"(img={run['img_total']/max(nb,1):.3f} "
-                f"ts={run['ts_total']/max(nb,1):.3f} "
-                f"fus={run['fus_total']/max(nb,1):.3f})  "
-                f"val_fusROC={val['main_auroc']:.4f}"
-                f"{'  *' if improved else ''}")
-            log.metrics({"val/main_auroc": val["main_auroc"],
-                         "train/loss": run["total"] / max(nb, 1)}, epoch)
+                            "val_main_auroc": val_metric})
+            parts = " ".join(f"{k}={run[k]/max(nb,1):.3f}"
+                             for k in loss_keys[1:])
+            log.info(f"epoch {epoch:3d}  loss="
+                     f"{run[loss_keys[0]]/max(nb,1):.4f} ({parts})  "
+                     f"val_AUROC={val_metric:.4f}"
+                     f"{'  *' if improved else ''}")
+            log.metrics({"val/main_auroc": val_metric,
+                         "train/loss": run[loss_keys[0]] / max(nb, 1)},
+                        epoch)
 
             if cfg.eval_train_batches > 0:
-                tr_gap = evaluate_dual_pathology(
-                    eval_step, state.params, state.batch_stats, dataset,
-                    "train", cfg.batch_size, mesh, pathology_labels, beta,
-                    limit=cfg.eval_train_batches)
-                log.info("train-subset gap table:\n"
-                         + format_dual_pathology_gap_table(tr_gap))
+                _, _, table = run_eval(state.params, state.batch_stats,
+                                       "train", beta,
+                                       limit=cfg.eval_train_batches)
+                log.info("train-subset gap table:\n" + table)
             # in-loop read-only gradient diagnostics (trainer.py:684-705)
             if grad_diag_every > 0 and (epoch + 1) % grad_diag_every == 0:
                 from ..analysis.grad_flow_diagnostics import (format_report,
@@ -231,18 +286,19 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                              int(state.step), cfg_dict)
         best_metric, best_path = tracker.best
         ckpt = load_checkpoint(best_path)
-        beta = np.asarray(ckpt["params"]["perceiver"]["beta"])
-        test = evaluate_dual_pathology(
-            eval_step, ckpt["params"], ckpt["batch_stats"], dataset, "test",
-            cfg.batch_size, mesh, pathology_labels, beta)
-        log.info(f"test: fus macro AUROC={test['main_auroc']:.4f}\n"
-                 + format_dual_pathology_gap_table(test))
+        beta = (np.asarray(ckpt["params"]["perceiver"]["beta"])
+                if uses_dual else None)
+        test, test_metric, table = run_eval(ckpt["params"],
+                                            ckpt["batch_stats"], "test", beta)
+        log.info(f"test: main AUROC={test_metric:.4f}\n" + table)
 
     sps = n_steps / max(elapsed, 1e-9)
+    test_metrics = {"main_auroc": test_metric}
+    if isinstance(test, dict):
+        for k in ("main_auprc", "per_label", "auprc"):
+            if k in test:
+                test_metrics[k] = test[k]
     return TrainResult(best_metric=best_metric, best_path=best_path,
-                       history=history,
-                       test_metrics={"main_auroc": test["main_auroc"],
-                                     "main_auprc": test["main_auprc"],
-                                     "per_label": test["per_label"]},
+                       history=history, test_metrics=test_metrics,
                        steps_per_sec=sps,
                        samples_per_sec=sps * cfg.batch_size)
