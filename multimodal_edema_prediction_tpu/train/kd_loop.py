@@ -104,8 +104,9 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
         cfg_dict = {"model": student_cfg.to_dict(), "train": cfg.to_dict(),
                     "teacher_ckpt": teacher_ckpt}
 
+        keys = ("total", "bce", "kd")
         for epoch in range(cfg.epochs):
-            run = {"total": 0.0, "bce": 0.0, "kd": 0.0}
+            acc = []
             nb = 0
             for batch in dataset.iter_batches(
                     "train", cfg.batch_size, shuffle=True,
@@ -115,10 +116,11 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                 step_rng, sub = jax.random.split(step_rng)
                 state, out = kd_step(state, t_params, t_stats, grid, static,
                                      dev_batch, sub)
-                for k in run:
-                    run[k] += float(out[k])
+                acc.append({k: out[k] for k in keys})
                 nb += 1
                 n_steps += 1
+            run = {k: float(jnp.stack([m[k] for m in acc]).sum())
+                   for k in keys} if acc else {k: 0.0 for k in keys}
 
             val = evaluate_binary_split(eval_step, state.params,
                                         state.batch_stats, dataset, "val",

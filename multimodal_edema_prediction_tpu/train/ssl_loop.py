@@ -89,9 +89,10 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
                 dev_batch = meshlib.shard_batch(batch, mesh)
                 step_rng, sub = jax.random.split(step_rng)
                 state, out = train_step(state, grid, static, dev_batch, sub)
-                losses.append(float(out["total"]))
+                losses.append(out["total"])     # device scalar; sync once
                 n_steps += 1
-            train_loss = float(np.mean(losses)) if losses else float("nan")
+            train_loss = float(jnp.stack(losses).mean()) if losses \
+                else float("nan")
             if losses and not np.isfinite(train_loss):
                 raise FloatingPointError(
                     f"non-finite SSL loss at epoch {epoch}; aborting")

@@ -219,7 +219,10 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                     "pathology_labels": list(pathology_labels)}
 
         for epoch in range(cfg.epochs):
-            run = {k: 0.0 for k in loss_keys}
+            # accumulate metrics as device scalars; one host sync per epoch
+            # (a per-step float() would serialize dispatch behind a host
+            # round-trip — costly on remote/tunneled TPU backends)
+            acc = []
             nb = 0
             for batch in dataset.iter_batches(
                     "train", cfg.batch_size, shuffle=True,
@@ -228,10 +231,11 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                 dev_batch = meshlib.shard_batch(batch, mesh)
                 step_rng, sub = jax.random.split(step_rng)
                 state, out = train_step(state, grid, static, dev_batch, sub)
-                for k in run:
-                    run[k] += float(out[k])
+                acc.append({k: out[k] for k in loss_keys})
                 nb += 1
                 n_steps += 1
+            run = {k: float(jnp.stack([m[k] for m in acc]).sum())
+                   for k in loss_keys} if acc else {k: 0.0 for k in loss_keys}
             if not np.isfinite(run[loss_keys[0]]):
                 raise FloatingPointError(
                     f"non-finite training loss at epoch {epoch} "
