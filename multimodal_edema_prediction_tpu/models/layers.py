@@ -194,9 +194,13 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, kv_in, train: bool = False,
-                 return_weights: bool = False, key_padding_mask=None):
+                 return_weights: bool = False, key_padding_mask=None,
+                 valid_len: Optional[int] = None):
         """key_padding_mask: [..., K] bool, True = IGNORE that key (torch
-        MultiheadAttention semantics)."""
+        MultiheadAttention semantics). ``valid_len``: static true token count
+        when the sequence is pre-padded (pad-once fast path: tokens ≥
+        valid_len are masked as keys and their outputs are garbage-by-design,
+        to be sliced off by the caller)."""
         d_model = q_in.shape[-1]
         dh = self.d_head or d_model // self.n_heads
         inner = self.n_heads * dh
@@ -218,9 +222,13 @@ class MultiHeadAttention(nn.Module):
         if flash_ok:
             from ..ops.attention import flash_mha
             out = flash_mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                            v.transpose(0, 2, 1, 3), sm_scale=dh ** -0.5)
+                            v.transpose(0, 2, 1, 3), sm_scale=dh ** -0.5,
+                            q_valid=valid_len, kv_valid=valid_len)
             out = out.transpose(0, 2, 1, 3)
         else:
+            if valid_len is not None and valid_len < k.shape[-3] \
+                    and key_padding_mask is None:
+                key_padding_mask = jnp.arange(k.shape[-3]) >= valid_len
             logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * (dh ** -0.5)
             if key_padding_mask is not None:
                 pad = key_padding_mask[..., None, None, :]   # [...,1,1,K]

@@ -38,6 +38,7 @@ def normalize_image(pixels: jnp.ndarray, mean=IMAGE_MEAN, std=IMAGE_STD
 
 class DinoBlock(nn.Module):
     cfg: ViTConfig
+    valid_len: Optional[int] = None   # true token count when pre-padded
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -47,7 +48,9 @@ class DinoBlock(nn.Module):
         h = MultiHeadAttention(cfg.n_heads, cfg.d_model // cfg.n_heads,
                                cfg.dropout, qkv_bias=True,
                                use_flash=cfg.use_flash_attention,
-                               name="attn")(h, h, train=train).astype(x.dtype)
+                               name="attn")(h, h, train=train,
+                                            valid_len=self.valid_len
+                                            ).astype(x.dtype)
         ls1 = self.param("layerscale1", ls_init, (cfg.d_model,), jnp.float32)
         x = x + h * ls1.astype(x.dtype)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -83,10 +86,25 @@ class DinoViT(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, cfg.n_patches + 1, cfg.d_model), jnp.float32)
         x = x + pos.astype(x.dtype)
+
+        # Pad the token dim ONCE to the flash block multiple; every layer's
+        # attention masks the pads via segment ids. Profiling showed per-layer
+        # pad/transpose copies cost ~40% of the teacher step otherwise.
+        n_tokens = cfg.n_patches + 1
+        valid_len = None
+        if cfg.use_flash_attention and n_tokens >= 256:
+            n_padded = ((n_tokens + 511) // 512) * 512
+            if n_padded != n_tokens:
+                x = jnp.pad(x, ((0, 0), (0, n_padded - n_tokens), (0, 0)))
+                valid_len = n_tokens
+
         for i in range(cfg.n_layers):
-            x = DinoBlock(cfg, name=f"block_{i}")(x, train=train)
+            x = DinoBlock(cfg, valid_len=valid_len,
+                          name=f"block_{i}")(x, train=train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="final_norm")(x).astype(pixel_values.dtype)
+        if valid_len is not None:
+            x = x[:, :n_tokens]
         return x[:, 0], x[:, 1:]
 
 

@@ -23,33 +23,47 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "block_size"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_size",
+                                              "q_valid", "kv_valid"))
 def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              sm_scale: float = 1.0, block_size: int = 512) -> jnp.ndarray:
+              sm_scale: float = 1.0, block_size: int = 512,
+              q_valid: Optional[int] = None,
+              kv_valid: Optional[int] = None) -> jnp.ndarray:
     """[B, H, N, D] self/cross attention via the Pallas TPU flash kernel.
 
-    Pads N up to a multiple of ``block_size`` (and at least 2 blocks) with
-    segment-id masking so padded keys contribute zero probability. Falls back
-    to a pure-jax reference off-TPU (keeps CPU tests meaningful).
+    Pads N up to a multiple of ``block_size`` with segment-id masking so
+    padded keys contribute zero probability. If the caller ALREADY padded the
+    token dim (``q_valid``/``kv_valid`` give the true lengths), no per-call
+    pad/copy happens — the profiled fast path: pad once at the model level,
+    mask here. Falls back to a pure-jax reference off-TPU.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention, mha_reference)
 
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
+    nq_true = q_valid or Nq
+    nk_true = kv_valid or Nk
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
-        return mha_reference(q, k, v, None, sm_scale=sm_scale)
+        ab = None
+        if nk_true < Nk:
+            mask = (jnp.arange(Nk) < nk_true).astype(q.dtype)
+            ab = (mask[None, None, None, :] - 1.0) * 1e30
+            ab = jnp.broadcast_to(ab, (B, H, Nq, Nk))
+        return mha_reference(q, k, v, ab, sm_scale=sm_scale)
 
     Nq_p = _round_up(Nq, block_size)
     Nk_p = _round_up(Nk, block_size)
 
     def pad_to(x, n):
+        if x.shape[2] == n:
+            return x
         return jnp.pad(x, ((0, 0), (0, 0), (0, n - x.shape[2]), (0, 0)))
 
     qp, kp, vp = pad_to(q, Nq_p), pad_to(k, Nk_p), pad_to(v, Nk_p)
-    seg_q = (jnp.arange(Nq_p) < Nq).astype(jnp.int32)[None].repeat(B, 0)
-    seg_kv = (jnp.arange(Nk_p) < Nk).astype(jnp.int32)[None].repeat(B, 0)
+    seg_q = (jnp.arange(Nq_p) < nq_true).astype(jnp.int32)[None].repeat(B, 0)
+    seg_kv = (jnp.arange(Nk_p) < nk_true).astype(jnp.int32)[None].repeat(B, 0)
     # Measured on v5e (B=32,H=12,N=1536,D=64): block_b=2 is ~13x faster than
     # block_b=1, and a full-length K major block shaves another ~10%.
     bb = 2 if B % 2 == 0 else 1
@@ -66,4 +80,4 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           segment_ids=SegmentIds(q=seg_q, kv=seg_kv),
                           causal=False, sm_scale=sm_scale,
                           block_sizes=sizes)
-    return out[:, :, :Nq, :]
+    return out[:, :, :Nq, :] if Nq_p != Nq else out
