@@ -44,7 +44,10 @@ class DinoBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         cfg = self.cfg
         ls_init = nn.initializers.constant(cfg.layerscale_init)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        # LN statistics are computed in f32 internally (flax promotes); the
+        # OUTPUT stays in compute dtype — an f32 output doubles HBM traffic
+        # and forces convert fusions before every matmul (profiled).
+        h = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm1")(x)
         h = MultiHeadAttention(cfg.n_heads, cfg.d_model // cfg.n_heads,
                                cfg.dropout, qkv_bias=True,
                                use_flash=cfg.use_flash_attention,
@@ -53,7 +56,7 @@ class DinoBlock(nn.Module):
                                             ).astype(x.dtype)
         ls1 = self.param("layerscale1", ls_init, (cfg.d_model,), jnp.float32)
         x = x + h * ls1.astype(x.dtype)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm2")(x)
         h = nn.Dense(cfg.d_feedforward, dtype=x.dtype,
                      param_dtype=jnp.float32, name="mlp_in")(h)
         h = nn.gelu(h)
@@ -101,7 +104,7 @@ class DinoViT(nn.Module):
         for i in range(cfg.n_layers):
             x = DinoBlock(cfg, valid_len=valid_len,
                           name=f"block_{i}")(x, train=train)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+        x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype,
                          name="final_norm")(x).astype(pixel_values.dtype)
         if valid_len is not None:
             x = x[:, :n_tokens]
