@@ -75,6 +75,16 @@ def make_diag_step(model, image_source: Callable):
         out["img_fus_query_grad_cos"] = cos(q_grads["img"], q_grads["fus"])
         out["ts_fus_query_grad_cos"] = cos(q_grads["ts"], q_grads["fus"])
 
+        # per-label breakdown on the shared query bank (reference :400-480):
+        # row k of the query bank belongs to pathology k; img-vs-ts gradient
+        # dominance per label shows which modality pulls each query.
+        img_rows = jnp.linalg.norm(q_grads["img"], axis=-1)
+        ts_rows = jnp.linalg.norm(q_grads["ts"], axis=-1)
+        out["per_label_img_query_grad"] = img_rows
+        out["per_label_ts_query_grad"] = ts_rows
+        out["per_label_img_dominance"] = img_rows / (img_rows + ts_rows
+                                                     + 1e-12)
+
         q = variables["params"]["perceiver"]["shared_queries"]
         qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
         gram = qn @ qn.T
@@ -109,9 +119,11 @@ def run_diagnostics(model, params, batch_stats, anchor_ds, image_source,
         out = step(variables, jnp.asarray(x_ts), jnp.asarray(x_static),
                    jax.tree.map(jnp.asarray, batch))
         for k, v in out.items():
-            acc[k] = acc.get(k, 0.0) + float(v)
+            v = np.asarray(v)
+            acc[k] = acc.get(k, 0.0) + (float(v) if v.ndim == 0 else v)
         nb += 1
-    return {k: v / max(nb, 1) for k, v in acc.items()} | {"n_batches": nb}
+    return {k: (v / max(nb, 1)).tolist() if isinstance(v, np.ndarray)
+            else v / max(nb, 1) for k, v in acc.items()} | {"n_batches": nb}
 
 
 def format_report(r: dict) -> str:
@@ -125,6 +137,10 @@ def format_report(r: dict) -> str:
                  f"  img·fus={r['img_fus_query_grad_cos']:+.3f}"
                  f"  ts·fus={r['ts_fus_query_grad_cos']:+.3f}")
     lines.append(f"query Gram gap ‖QQᵀ−I‖ = {r['query_gram_gap']:.4f}")
+    dom = r.get("per_label_img_dominance")
+    if dom is not None:
+        lines.append("per-label img-gradient dominance on shared queries: "
+                     + " ".join(f"{d:.2f}" for d in dom))
     return "\n".join(lines)
 
 
