@@ -35,6 +35,10 @@ def main(argv=None):
                    help="run read-only gradient-flow diagnostics every N "
                         "epochs (0 = off)")
     p.add_argument("--grad_diag_batches", type=int, default=4)
+    p.add_argument("--pretrained_cxr_head_ckpt", type=str, default="",
+                   help="[dual] frozen CXR linear head checkpoint "
+                        "(cli.train_cxr_head output); label re-indexing is "
+                        "derived from its label_cols")
     args = p.parse_args(argv)
 
     dcfg, duett, tcfg = configs_from_args(args)
@@ -81,7 +85,8 @@ def main(argv=None):
         lp_beta_l2=args.lp_beta_l2, lp_corr_l2=args.lp_corr_l2,
         init_variables=init_variables,
         grad_diag_every=args.grad_diag_every,
-        grad_diag_batches=args.grad_diag_batches)
+        grad_diag_batches=args.grad_diag_batches,
+        pretrained_head_ckpt=args.pretrained_cxr_head_ckpt or None)
     log.info(f"best val macro fusion AUROC: {res.best_metric:.4f}  "
              f"ckpt: {res.best_path}")
     log.finish()

@@ -104,11 +104,24 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                   lp_beta_l2: float = 1e-3, lp_corr_l2: float = 1e-2,
                   init_variables: Optional[dict] = None,
                   grad_diag_every: int = 0,
-                  grad_diag_batches: int = 4) -> TrainResult:
+                  grad_diag_batches: int = 4,
+                  pretrained_head_ckpt: Optional[str] = None) -> TrainResult:
     log = logger or Logger("teacher")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
     dtype = jnp.dtype(cfg.dtype)
-    model = TeacherModel(teacher_cfg)
+    static_keep_idx = None
+    n_pretrained = len(pathology_labels)
+    if teacher_cfg.perceiver_type == "dual" and pretrained_head_ckpt:
+        from .checkpoint import load_checkpoint as _load
+        head_ck = _load(pretrained_head_ckpt)
+        pre_labels = list(head_ck["config"]["label_cols"])
+        n_pretrained = len(pre_labels)
+        static_keep_idx = tuple(pre_labels.index(l)
+                                for l in pathology_labels)
+        log.info(f"[dual] pretrained head {pretrained_head_ckpt}: "
+                 f"keep_idx={static_keep_idx}")
+    model = TeacherModel(teacher_cfg, n_pretrained_labels=n_pretrained,
+                         static_keep_idx=static_keep_idx)
     T = dataset.n_timesteps
     K = len(pathology_labels)
     lw = np.ones(K, np.float32)   # uniform per-pathology (trainer.py:390-391)
@@ -122,6 +135,10 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
     else:
         variables = init_variables
     params, batch_stats = variables["params"], variables["batch_stats"]
+    if teacher_cfg.perceiver_type == "dual" and pretrained_head_ckpt:
+        from .cxr_head_loop import load_cxr_head_into_teacher
+        params, _ = load_cxr_head_into_teacher(pretrained_head_ckpt, params,
+                                               pathology_labels)
     if lp_mode:
         ckpt = load_checkpoint(lp_from)
         params, changed = restore_tolerant(params, ckpt["params"], ())
