@@ -179,6 +179,25 @@ class PerVariableMLP(nn.Module):
         return jnp.einsum("...vd,vdo->...vo", h, w2.astype(h.dtype)) + b2.astype(h.dtype)
 
 
+class _ProjParams(nn.Module):
+    """Dense-compatible parameter holder (same tree: {kernel, bias}) whose
+    kernel can be consumed by layout-free einsums — projecting q/k/v directly
+    into the head-major [B, H, N, dh] layout the flash kernel wants avoids
+    the [B, N, H, dh] → [B, H, N, dh] transpose copies (profiled at ~9× the
+    einsum cost on v5e)."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (d_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Standard softmax attention with decoupled head dim.
 
@@ -204,45 +223,64 @@ class MultiHeadAttention(nn.Module):
         d_model = q_in.shape[-1]
         dh = self.d_head or d_model // self.n_heads
         inner = self.n_heads * dh
-        dense = lambda d, bias, name: nn.Dense(  # noqa: E731
-            d, use_bias=bias, dtype=q_in.dtype, param_dtype=jnp.float32, name=name)
-        q = dense(inner, self.qkv_bias, "q")(q_in)
-        k = dense(inner, self.qkv_bias, "k")(kv_in)
-        v = dense(inner, self.qkv_bias, "v")(kv_in)
-
-        def split(x):
-            return x.reshape(x.shape[:-1] + (self.n_heads, dh))
-
-        q, k, v = split(q), split(k), split(v)
+        H = self.n_heads
+        dtype = q_in.dtype
+        wq, bq = _ProjParams(inner, self.qkv_bias, name="q")(d_model)
+        wk, bk = _ProjParams(inner, self.qkv_bias, name="k")(d_model)
+        wv, bv = _ProjParams(inner, self.qkv_bias, name="v")(d_model)
+        wo, bo = _ProjParams(d_model, self.out_bias, name="out")(inner)
 
         flash_ok = (self.use_flash and not return_weights
                     and key_padding_mask is None
                     and (self.dropout == 0.0 or not train)
-                    and q.ndim == 4 and k.shape[-3] >= 256 and dh >= 64)
+                    and q_in.ndim == 3 and kv_in.shape[-2] >= 256
+                    and dh >= 64)
         if flash_ok:
+            # project straight into [B, H, N, dh] — no transpose copies
+            def proj_bhnk(x, w, b):
+                y = jnp.einsum("bnd,dhk->bhnk", x,
+                               w.reshape(d_model, H, dh).astype(dtype))
+                if b is not None:
+                    y = y + b.reshape(H, 1, dh).astype(dtype)
+                return y
+
+            q = proj_bhnk(q_in, wq, bq)
+            k = proj_bhnk(kv_in, wk, bk)
+            v = proj_bhnk(kv_in, wv, bv)
             from ..ops.attention import flash_mha
-            out = flash_mha(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                            v.transpose(0, 2, 1, 3), sm_scale=dh ** -0.5,
-                            q_valid=valid_len, kv_valid=valid_len)
-            out = out.transpose(0, 2, 1, 3)
-        else:
-            if valid_len is not None and valid_len < k.shape[-3] \
-                    and key_padding_mask is None:
-                key_padding_mask = jnp.arange(k.shape[-3]) >= valid_len
-            logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * (dh ** -0.5)
-            if key_padding_mask is not None:
-                pad = key_padding_mask[..., None, None, :]   # [...,1,1,K]
-                logits = jnp.where(pad, -1e30, logits)
-            weights = jax.nn.softmax(logits.astype(jnp.float32),
-                                     axis=-1).astype(q.dtype)
-            dropped = nn.Dropout(self.dropout, deterministic=not train)(weights)
-            out = jnp.einsum("...hqk,...khd->...qhd", dropped, v)
-            if return_weights:
-                out = out.reshape(out.shape[:-2] + (inner,))
-                out = dense(d_model, self.out_bias, "out")(out)
-                return out, weights.mean(axis=-3)  # average over heads
+            o = flash_mha(q, k, v, sm_scale=dh ** -0.5,
+                          q_valid=valid_len, kv_valid=valid_len)
+            out = jnp.einsum("bhnk,hkd->bnd", o,
+                             wo.reshape(H, dh, d_model).astype(dtype))
+            if bo is not None:
+                out = out + bo.astype(dtype)
+            return out
+
+        def proj(x, w, b):
+            y = x @ w.astype(dtype)
+            if b is not None:
+                y = y + b.astype(dtype)
+            return y.reshape(x.shape[:-1] + (H, dh))
+
+        q, k, v = proj(q_in, wq, bq), proj(kv_in, wk, bk), proj(kv_in, wv, bv)
+        if valid_len is not None and valid_len < k.shape[-3] \
+                and key_padding_mask is None:
+            key_padding_mask = jnp.arange(k.shape[-3]) >= valid_len
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k) * (dh ** -0.5)
+        if key_padding_mask is not None:
+            pad = key_padding_mask[..., None, None, :]   # [...,1,1,K]
+            logits = jnp.where(pad, -1e30, logits)
+        weights = jax.nn.softmax(logits.astype(jnp.float32),
+                                 axis=-1).astype(dtype)
+        dropped = nn.Dropout(self.dropout, deterministic=not train)(weights)
+        out = jnp.einsum("...hqk,...khd->...qhd", dropped, v)
         out = out.reshape(out.shape[:-2] + (inner,))
-        return dense(d_model, self.out_bias, "out")(out)
+        out = out @ wo.astype(dtype)
+        if bo is not None:
+            out = out + bo.astype(dtype)
+        if return_weights:
+            return out, weights.mean(axis=-3)  # average over heads
+        return out
 
 
 class TransformerEncoderLayer(nn.Module):
