@@ -8,6 +8,7 @@ from __future__ import annotations
 import argparse
 
 from ..config import PerceiverConfig, TeacherConfig, ViTConfig
+from ..data.images import JpegStore
 from ..train.ssl_loop import transplant_encoder
 from ..train.teacher_loop import init_teacher, train_teacher
 from ..utils.logging import Logger
@@ -39,6 +40,11 @@ def main(argv=None):
                    help="[dual] frozen CXR linear head checkpoint "
                         "(cli.train_cxr_head output); label re-indexing is "
                         "derived from its label_cols")
+    p.add_argument("--cxr_jpeg_root", type=str, default="",
+                   help="directory of {image_id}.jpg files — enables the "
+                        "real-image path (native decode in the prefetch "
+                        "worker) instead of procedural images")
+    p.add_argument("--prefetch_depth", type=int, default=2)
     args = p.parse_args(argv)
 
     dcfg, duett, tcfg = configs_from_args(args)
@@ -86,7 +92,10 @@ def main(argv=None):
         init_variables=init_variables,
         grad_diag_every=args.grad_diag_every,
         grad_diag_batches=args.grad_diag_batches,
-        pretrained_head_ckpt=args.pretrained_cxr_head_ckpt or None)
+        pretrained_head_ckpt=args.pretrained_cxr_head_ckpt or None,
+        jpeg_store=(JpegStore(root=args.cxr_jpeg_root)
+                    if args.cxr_jpeg_root else None),
+        prefetch_depth=args.prefetch_depth)
     log.info(f"best val macro fusion AUROC: {res.best_metric:.4f}  "
              f"ckpt: {res.best_path}")
     log.finish()

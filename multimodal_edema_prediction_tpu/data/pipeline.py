@@ -216,6 +216,10 @@ class AnchorDataset:
     splits: Dict[str, np.ndarray]
     meta: Meta
     n_timesteps: int
+    # optional host-side batch transform (e.g. JPEG decode attaching
+    # pixel_values); applied by iter_batches so trainers, evaluators and
+    # analysis all see the same enriched batches.
+    batch_hook: Optional[callable] = None
 
     @property
     def bin_ends(self) -> np.ndarray:
@@ -270,6 +274,8 @@ class AnchorDataset:
             else:
                 batch = self.anchor_batch(b)
                 batch["valid"] = np.ones(batch_size, np.float32)
+            if self.batch_hook is not None:
+                batch = self.batch_hook(batch)
             yield batch
             count += 1
             if limit and count >= limit:

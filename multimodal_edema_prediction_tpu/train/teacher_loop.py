@@ -105,7 +105,8 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                   init_variables: Optional[dict] = None,
                   grad_diag_every: int = 0,
                   grad_diag_batches: int = 4,
-                  pretrained_head_ckpt: Optional[str] = None) -> TrainResult:
+                  pretrained_head_ckpt: Optional[str] = None,
+                  jpeg_store=None, prefetch_depth: int = 2) -> TrainResult:
     log = logger or Logger("teacher")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
     dtype = jnp.dtype(cfg.dtype)
@@ -125,8 +126,17 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
     T = dataset.n_timesteps
     K = len(pathology_labels)
     lw = np.ones(K, np.float32)   # uniform per-pathology (trainer.py:390-391)
-    image_source = image_source or make_synthetic_image_source(
-        teacher_cfg.vit.image_size)
+    if jpeg_store is not None:
+        # real-image path: decode on host (native libjpeg) via the dataset's
+        # batch hook — trainers, evaluators and analysis all see
+        # pixel_values; the jitted step consumes them directly.
+        from ..data.images import make_jpeg_host_fn
+        dataset.batch_hook = make_jpeg_host_fn(jpeg_store,
+                                               teacher_cfg.vit.image_size)
+        image_source = engine.default_image_source
+    else:
+        image_source = image_source or make_synthetic_image_source(
+            teacher_cfg.vit.image_size)
     lp_mode = lp_from is not None
 
     if init_variables is None:
@@ -241,11 +251,22 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
             # round-trip — costly on remote/tunneled TPU backends)
             acc = []
             nb = 0
-            for batch in dataset.iter_batches(
-                    "train", cfg.batch_size, shuffle=True,
-                    seed=cfg.seed + epoch, limit=cfg.limit_batches):
-                batch.pop("valid")
-                dev_batch = meshlib.shard_batch(batch, mesh)
+
+            def _host_batches():
+                for b in dataset.iter_batches(
+                        "train", cfg.batch_size, shuffle=True,
+                        seed=cfg.seed + epoch, limit=cfg.limit_batches):
+                    b.pop("valid")
+                    yield b
+
+            if prefetch_depth > 0:
+                from ..data.prefetch import prefetch
+                batches = prefetch(_host_batches(), mesh,
+                                   depth=prefetch_depth)
+            else:
+                batches = (meshlib.shard_batch(b, mesh)
+                           for b in _host_batches())
+            for dev_batch in batches:
                 step_rng, sub = jax.random.split(step_rng)
                 state, out = train_step(state, grid, static, dev_batch, sub)
                 acc.append({k: out[k] for k in loss_keys})
