@@ -140,8 +140,14 @@ class DuettEncoder(nn.Module):
 
     Reference: DuettFeatureExtractor.encode
     (models/main_architecture_duett.py:31-94).
+
+    ``identity_tx=True`` skips the transformer blocks while keeping the
+    positional-embedding adds and axis-fold reshapes — used only by the
+    reference-parity harness (tests/test_reference_parity.py), which patches
+    the reference's x_transformers encoders to identity the same way.
     """
     cfg: DuettConfig
+    identity_tx: bool = False
 
     @nn.compact
     def __call__(self, x_in: jnp.ndarray, x_static: jnp.ndarray,
@@ -210,17 +216,19 @@ class DuettEncoder(nn.Module):
         for i in range(cfg.n_layers):
             # event axis: tokens = variables, channels = all timesteps
             ev = psi.transpose(0, 2, 1, 3).reshape(B, V + 1, et_dim) + event_pos
-            ev = TransformerEncoder(
-                1, cfg.n_heads, d_head, cfg.d_feedforward,
-                cfg.transformer_dropout, cfg.scalenorm,
-                name=f"event_transformer_{i}")(ev, train=train)
+            if not self.identity_tx:
+                ev = TransformerEncoder(
+                    1, cfg.n_heads, d_head, cfg.d_feedforward,
+                    cfg.transformer_dropout, cfg.scalenorm,
+                    name=f"event_transformer_{i}")(ev, train=train)
             psi = ev.reshape(B, V + 1, T + 1, d).transpose(0, 2, 1, 3)
             # time axis: tokens = hours, channels = all variables
             tt = psi.reshape(B, T + 1, tt_dim) + time_emb
-            tt = TransformerEncoder(
-                1, cfg.n_heads, d_head, cfg.d_feedforward,
-                cfg.transformer_dropout, cfg.scalenorm,
-                name=f"time_transformer_{i}")(tt, train=train)
+            if not self.identity_tx:
+                tt = TransformerEncoder(
+                    1, cfg.n_heads, d_head, cfg.d_feedforward,
+                    cfg.transformer_dropout, cfg.scalenorm,
+                    name=f"time_transformer_{i}")(tt, train=train)
             psi = tt.reshape(B, T + 1, V + 1, d)
 
         tokens = psi.reshape(B, T + 1, tt_dim)

@@ -304,7 +304,7 @@ class TransformerEncoderLayer(nn.Module):
         h = self._norm("norm_ff")(x)
         h = nn.Dense(self.d_feedforward, dtype=x.dtype, param_dtype=jnp.float32,
                      name="ff_in")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(x.shape[-1], dtype=x.dtype, param_dtype=jnp.float32,
                      name="ff_out")(h)

@@ -27,7 +27,7 @@ class StudentModel(nn.Module):
             raise ValueError(f"unknown pool {self.cfg.pool!r}")
         h = nn.Dense(self.cfg.head_hidden, dtype=feat.dtype,
                      param_dtype=jnp.float32, name="head_in")(feat)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.cfg.head_dropout, deterministic=not train)(h)
         logit = nn.Dense(1, dtype=feat.dtype, param_dtype=jnp.float32,
                          name="head_out")(h)

@@ -110,7 +110,7 @@ class TeacherModel(nn.Module):
                 name="perceiver")(ts_tokens, img_kv_proj, train=train)
             h = nn.Dense(128, dtype=fused.dtype, param_dtype=jnp.float32,
                          name="head_in")(fused)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dropout(cfg.perceiver.head_dropout,
                            deterministic=not train)(h)
             main = nn.Dense(1, dtype=fused.dtype, param_dtype=jnp.float32,
@@ -120,7 +120,7 @@ class TeacherModel(nn.Module):
             cxr_summary = img_kv_proj[:, 0]
             a = nn.Dense(128, dtype=fused.dtype, param_dtype=jnp.float32,
                          name="aux_in")(cxr_summary)
-            a = nn.gelu(a)
+            a = nn.gelu(a, approximate=False)
             a = nn.Dropout(cfg.perceiver.head_dropout,
                            deterministic=not train)(a)
             result["aux_logit"] = nn.Dense(

@@ -83,7 +83,7 @@ class LocalTrajectoryEncoder(nn.Module):
 
         h = nn.Dense(d, dtype=x_ts.dtype, param_dtype=jnp.float32,
                      name="input_proj")(local)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.LayerNorm(dtype=jnp.float32, name="input_norm")(
             h).astype(x_ts.dtype)
 

@@ -59,7 +59,7 @@ class DinoBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm2")(x)
         h = nn.Dense(cfg.d_feedforward, dtype=x.dtype,
                      param_dtype=jnp.float32, name="mlp_in")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.d_model, dtype=x.dtype, param_dtype=jnp.float32,
                      name="mlp_out")(h)
         ls2 = self.param("layerscale2", ls_init, (cfg.d_model,), jnp.float32)

@@ -45,8 +45,9 @@ def np_encoder_block(x, p, n_heads, d_head):
     x = x + np_mha(h, p["layer_0"]["attn"], n_heads, d_head)
     h = np_scalenorm(x, p["layer_0"]["norm_ff"]["g"])
     h = h @ p["layer_0"]["ff_in"]["kernel"] + p["layer_0"]["ff_in"]["bias"]
-    # jax.nn.gelu default is the tanh approximation
-    h = 0.5 * h * (1 + np.tanh(np.sqrt(2 / np.pi) * (h + 0.044715 * h ** 3)))
+    # exact (erf) GELU — matches torch nn.GELU / x_transformers FF
+    from scipy.special import erf
+    h = 0.5 * h * (1 + erf(h / np.sqrt(2.0)))
     x = x + h @ p["layer_0"]["ff_out"]["kernel"] + p["layer_0"]["ff_out"]["bias"]
     return np_scalenorm(x, p["final_norm"]["g"])
 

@@ -1,0 +1,323 @@
+"""Numerical parity vs the ACTUAL reference code imported from
+``/root/reference`` (see tests/ref_harness.py for exactly what is genuine
+reference code vs stubbed).
+
+Method: instantiate the reference torch module with randomized weights
+(including BatchNorm running stats), transplant the weights into the flax
+model, run both on the same random inputs in eval/f32, assert ≤1e-4.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ref_harness import (
+    load_reference, randomize_module, t2n,
+    patch_dual_perceiver_params, perceiver_block_from, duett_encoder_params,
+)
+from multimodal_edema_prediction_tpu.config import (
+    DuettConfig, PerceiverConfig)
+from multimodal_edema_prediction_tpu.models import duett as jduett
+from multimodal_edema_prediction_tpu.models.layers import MultiHeadAttention
+from multimodal_edema_prediction_tpu.models.perceiver import (
+    PatchDualPathologyPerceiver, PerceiverBlock)
+from multimodal_edema_prediction_tpu.ops import losses as jlosses
+
+REF = load_reference()
+ATOL = 1e-4
+
+
+def assert_close(jx, tx, atol=ATOL, rtol=1e-4, name=""):
+    a = np.asarray(jx, dtype=np.float64)
+    b = t2n(tx).astype(np.float64) if isinstance(tx, torch.Tensor) else \
+        np.asarray(tx, dtype=np.float64)
+    np.testing.assert_allclose(a, b, atol=atol, rtol=rtol, err_msg=name)
+
+
+# =============================================================================
+# Losses (loss/losses_duett.py — imported unmodified)
+# =============================================================================
+class TestLossParity:
+    def setup_method(self):
+        self.rng = np.random.default_rng(7)
+
+    def test_vanilla_kl_kd(self):
+        z_s = self.rng.normal(size=64).astype(np.float32)
+        z_t = self.rng.normal(size=64).astype(np.float32)
+        ref = REF["losses"].VanillaKLKD(T=4.0)(
+            torch.tensor(z_s), torch.tensor(z_t))
+        mine = jlosses.binary_kl_kd(jnp.asarray(z_s), jnp.asarray(z_t), T=4.0)
+        assert_close(mine, ref)
+
+    def test_student_kd_loss(self):
+        z_s = self.rng.normal(size=64).astype(np.float32)
+        z_t = self.rng.normal(size=64).astype(np.float32)
+        y = (self.rng.random(64) < 0.4).astype(np.float32)
+        ref = REF["losses"].StudentKDLoss(kd_T=3.0, kd_alpha=0.3)(
+            torch.tensor(z_s), torch.tensor(z_t), torch.tensor(y))
+        mine = jlosses.student_kd_loss(
+            jnp.asarray(z_s), jnp.asarray(z_t), jnp.asarray(y),
+            kd_T=3.0, kd_alpha=0.3)
+        assert_close(mine["total"], ref["total"])
+        assert_close(mine["bce"], ref["bce"])
+        assert_close(mine["kd"], ref["kd"])
+
+    def _multi(self, K=7, B=32):
+        logits = self.rng.normal(size=(B, K)).astype(np.float32)
+        y = (self.rng.random((B, K)) < 0.35).astype(np.float32)
+        mask = (self.rng.random((B, K)) < 0.8).astype(np.float32)
+        return logits, y, mask
+
+    def test_dual_pathology_loss(self):
+        K = 7
+        img, y, mask = self._multi(K)
+        ts, _, _ = self._multi(K)
+        fus, _, _ = self._multi(K)
+        lw = np.array([1.0, 0.2, 0.2, 0.2, 0.3, 0.1, 0.5], np.float32)
+        pw = np.linspace(0.5, 3.0, K).astype(np.float32)
+        ref = REF["losses"].DualPathologyLoss(
+            torch.tensor(lw), pos_weight=torch.tensor(pw),
+            alpha_img=0.4, alpha_ts=0.6, alpha_fus=1.2)(
+            torch.tensor(img), torch.tensor(ts), torch.tensor(fus),
+            torch.tensor(y), torch.tensor(mask))
+        mine = jlosses.dual_pathology_loss(
+            jnp.asarray(img), jnp.asarray(ts), jnp.asarray(fus),
+            jnp.asarray(y), jnp.asarray(mask), jnp.asarray(lw),
+            pos_weight=jnp.asarray(pw),
+            alpha_img=0.4, alpha_ts=0.6, alpha_fus=1.2)
+        for k in ("total", "img_total", "ts_total", "fus_total",
+                  "img_per", "ts_per", "fus_per"):
+            assert_close(mine[k], ref[k], name=k)
+
+    def test_pathology_multilabel_loss(self):
+        K = 7
+        s2, y, mask = self._multi(K)
+        s4, _, _ = self._multi(K)
+        lw = np.full(K, 1.0, np.float32)
+        ref = REF["losses"].PathologyMultiLabelLoss(
+            torch.tensor(lw), alpha_stage2=0.5, alpha_stage4=1.0)(
+            torch.tensor(s2), torch.tensor(s4),
+            torch.tensor(y), torch.tensor(mask))
+        mine = jlosses.pathology_multilabel_loss(
+            jnp.asarray(s2), jnp.asarray(s4), jnp.asarray(y),
+            jnp.asarray(mask), jnp.asarray(lw))
+        for k in ("total", "stage2_total", "stage4_total",
+                  "stage2_per", "stage4_per"):
+            assert_close(mine[k], ref[k], name=k)
+
+    def test_empty_mask_column_matches(self):
+        """A label with zero valid samples: both sides → ~0 via the eps."""
+        K, B = 3, 16
+        logits, y, mask = self._multi(K, B)
+        mask[:, 1] = 0.0
+        lw = np.ones(K, np.float32)
+        ref = REF["losses"].DualPathologyLoss(torch.tensor(lw))(
+            torch.tensor(logits), torch.tensor(logits), torch.tensor(logits),
+            torch.tensor(y), torch.tensor(mask))
+        mine = jlosses.dual_pathology_loss(
+            jnp.asarray(logits), jnp.asarray(logits), jnp.asarray(logits),
+            jnp.asarray(y), jnp.asarray(mask), jnp.asarray(lw))
+        assert_close(mine["img_per"], ref["img_per"])
+
+
+# =============================================================================
+# Perceiver (models/main_architecture_duett.py:538-654, 745-774)
+# =============================================================================
+class TestPerceiverParity:
+    def test_perceiver_block(self):
+        torch.manual_seed(0)
+        d, H, B, Q, N = 64, 4, 3, 7, 29
+        ref = REF["models"]._PerceiverBlock(d, H, dropout=0.1).eval()
+        randomize_module(ref, seed=1)
+        rng = np.random.default_rng(2)
+        latents = rng.normal(size=(B, Q, d)).astype(np.float32)
+        kv = rng.normal(size=(B, N, d)).astype(np.float32)
+        with torch.no_grad():
+            t_out, t_w = ref(torch.tensor(latents), torch.tensor(kv),
+                             return_attn=True)
+        blk = PerceiverBlock(n_heads=H, dropout=0.1)
+        params = perceiver_block_from(ref)
+        j_out, j_w = blk.apply({"params": params}, jnp.asarray(latents),
+                               jnp.asarray(kv), train=False, return_attn=True)
+        assert_close(j_out, t_out, name="block_out")
+        assert_close(j_w, t_w, name="attn_weights")
+
+    @pytest.mark.parametrize("abl", ["hourly_only", "full", "rep_only"])
+    def test_patch_dual_pathology_perceiver(self, abl):
+        torch.manual_seed(0)
+        K, d_ts, d_lat, B, T1, N = 7, 840, 256, 2, 25, 64
+        ref = REF["models"].PatchDualPathologyPerceiver(
+            n_pathologies=K, d_ts=d_ts, d_latent=d_lat, n_heads=4,
+            dropout=0.1, head_hidden=64, head_dropout=0.1).eval()
+        randomize_module(ref, seed=3)
+        # zero-init correction output must have been randomized too — verify
+        # the transplant, not the init.
+        assert float(ref.correction_head[-1].weight.abs().sum()) > 0
+
+        rng = np.random.default_rng(4)
+        ts_tokens = rng.normal(size=(B, T1, d_ts)).astype(np.float32)
+        img_proj = rng.normal(size=(B, N, d_lat)).astype(np.float32)
+        with torch.no_grad():
+            t_out = ref(torch.tensor(ts_tokens), torch.tensor(img_proj),
+                        return_attn=True, ts_ablation=abl)
+
+        cfg = PerceiverConfig(n_pathologies=K, d_latent=d_lat, n_heads=4,
+                              dropout=0.1, head_hidden=64, head_dropout=0.1,
+                              ts_ablation=abl)
+        mod = PatchDualPathologyPerceiver(cfg, d_ts=d_ts)
+        params = patch_dual_perceiver_params(ref)
+        j_out = mod.apply({"params": params}, jnp.asarray(ts_tokens),
+                          jnp.asarray(img_proj), train=False,
+                          return_attn=True)
+        for k in ("img_logits", "ts_logits", "fusion_logits",
+                  "ts_correction", "scaled_correction", "img_attn", "ts_attn"):
+            assert_close(j_out[k], t_out[k], name=k)
+        # intermediate tokens reach |x|~15 with 840-dim reductions; allow
+        # f32 accumulation-order noise in relative terms
+        for k in ("img_tokens", "ts_tokens"):
+            assert_close(j_out[k], t_out[k], atol=3e-4, rtol=5e-4, name=k)
+
+    def test_fusion_stop_gradient_matches_detach(self):
+        """d fusion_loss / d image_head must be zero on both sides."""
+        torch.manual_seed(0)
+        K, d_ts, d_lat, B, T1, N = 4, 120, 64, 2, 25, 16
+        ref = REF["models"].PatchDualPathologyPerceiver(
+            n_pathologies=K, d_ts=d_ts, d_latent=d_lat, n_heads=4,
+            dropout=0.0, head_hidden=32, head_dropout=0.0).eval()
+        randomize_module(ref, seed=5)
+        rng = np.random.default_rng(6)
+        ts_tokens = torch.tensor(
+            rng.normal(size=(B, T1, d_ts)).astype(np.float32))
+        img_proj = torch.tensor(
+            rng.normal(size=(B, N, d_lat)).astype(np.float32))
+        out = ref(ts_tokens, img_proj)
+        out["fusion_logits"].sum().backward()
+        assert ref.image_head[0].weight.grad is None or \
+            float(ref.image_head[0].weight.grad.abs().sum()) == 0.0
+        assert float(ref.correction_head[1].weight.grad.abs().sum()) > 0
+
+        cfg = PerceiverConfig(n_pathologies=K, d_latent=d_lat, n_heads=4,
+                              dropout=0.0, head_hidden=32, head_dropout=0.0)
+        mod = PatchDualPathologyPerceiver(cfg, d_ts=d_ts)
+        params = patch_dual_perceiver_params(ref)
+
+        def loss(p):
+            o = mod.apply({"params": p}, jnp.asarray(t2n(ts_tokens)),
+                          jnp.asarray(t2n(img_proj)), train=False)
+            return o["fusion_logits"].sum()
+
+        g = jax.grad(loss)(jax.tree.map(jnp.asarray, params))
+        assert float(jnp.abs(g["image_head"]["in"]["kernel"]).sum()) == 0.0
+        corr_g = float(jnp.abs(
+            g["correction_head"]["head"]["in"]["kernel"]).sum())
+        assert corr_g > 0
+
+
+# =============================================================================
+# MultiheadAttention primitive vs torch (sanity anchor for all blocks)
+# =============================================================================
+def test_torch_mha_parity():
+    torch.manual_seed(0)
+    d, H, B, Q, N = 32, 4, 2, 5, 11
+    ref = torch.nn.MultiheadAttention(d, H, dropout=0.0, batch_first=True)
+    randomize_module(ref, seed=8)
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(B, Q, d)).astype(np.float32)
+    kv = rng.normal(size=(B, N, d)).astype(np.float32)
+    with torch.no_grad():
+        t_out, _ = ref(torch.tensor(q), torch.tensor(kv), torch.tensor(kv),
+                       need_weights=False)
+    from ref_harness import mha_from
+    mod = MultiHeadAttention(n_heads=H, d_head=d // H, qkv_bias=True)
+    j_out = mod.apply({"params": mha_from(ref)}, jnp.asarray(q),
+                      jnp.asarray(kv), train=False)
+    assert_close(j_out, t_out)
+
+
+# =============================================================================
+# DuETT encode — identity-patched transformers on BOTH sides (see ref_harness
+# docstring); everything else is the genuine reference code path.
+# =============================================================================
+class TestDuettEncodeParity:
+    def _make_ref(self, V=10, T=12, d_static=6):
+        m = REF["models"].DuettFeatureExtractor(
+            d_static_num=d_static, d_time_series_num=V, d_target=1,
+            pretrain=False, masked_transform_timesteps=T, max_len=T,
+            predict_events=True, seed=0).eval()
+        randomize_module(m, seed=11)
+        return m
+
+    def _inputs(self, B=3, T=12, V=10, d_static=6, with_masks=True):
+        rng = np.random.default_rng(12)
+        vals = rng.normal(size=(B, T, V)).astype(np.float32)
+        cnts = rng.integers(0, 20, size=(B, T, V)).astype(np.float32)
+        vals = np.where(cnts > 0, vals, 0.0)
+        if with_masks:
+            # event-mask flag: count == -1 on a few cells
+            em = rng.random((B, T, V)) < 0.1
+            cnts = np.where(em, -1.0, cnts)
+        mask_col = (rng.random((B, T)) < 0.15).astype(np.float32) \
+            if with_masks else np.zeros((B, T), np.float32)
+        x_in = np.concatenate([vals, cnts, mask_col[..., None]], axis=-1)
+        x_static = rng.normal(size=(B, d_static)).astype(np.float32)
+        times = (np.tile(np.arange(1, T + 1, dtype=np.float32), (B, 1)) / 24.0)
+        return x_in, x_static, times
+
+    def test_encode_identity_tx(self):
+        V, T, d_static, B = 10, 12, 6, 3
+        ref = self._make_ref(V, T, d_static)
+        x_in, x_static, times = self._inputs(B, T, V, d_static)
+        with torch.no_grad():
+            t_tokens = ref.encode((torch.tensor(x_static),
+                                   torch.tensor(x_in),
+                                   torch.tensor(times), None))
+        cfg = DuettConfig(n_variables=V, n_timesteps=T, d_static=d_static,
+                          n_layers=2, transformer_dropout=0.0)
+        enc = jduett.DuettEncoder(cfg, identity_tx=True)
+        params, batch_stats = duett_encoder_params(ref)
+        j_tokens, _ = enc.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(x_in), jnp.asarray(x_static), jnp.asarray(times),
+            train=False)
+        assert_close(j_tokens, t_tokens, name="encode_tokens")
+
+    def test_encode_no_masks(self):
+        V, T, d_static, B = 8, 10, 5, 2
+        ref = self._make_ref(V, T, d_static)
+        x_in, x_static, times = self._inputs(B, T, V, d_static,
+                                             with_masks=False)
+        with torch.no_grad():
+            t_tokens = ref.encode((torch.tensor(x_static),
+                                   torch.tensor(x_in),
+                                   torch.tensor(times), None))
+        cfg = DuettConfig(n_variables=V, n_timesteps=T, d_static=d_static)
+        enc = jduett.DuettEncoder(cfg, identity_tx=True)
+        params, batch_stats = duett_encoder_params(ref)
+        j_tokens, _ = enc.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(x_in), jnp.asarray(x_static), jnp.asarray(times),
+            train=False)
+        assert_close(j_tokens, t_tokens)
+
+    def test_feats_to_input_eval(self):
+        """feats_to_input in eval: append zero mask column, stack, no aug."""
+        V, T, B = 6, 9, 4
+        ref = self._make_ref(V, T, d_static=5)
+        rng = np.random.default_rng(13)
+        x_ts = rng.normal(size=(B, T, 2 * V)).astype(np.float32)
+        x_static = rng.normal(size=(B, 5)).astype(np.float32)
+        times = np.tile(np.arange(1, T + 1, dtype=np.float32) / 24.0, (B, 1))
+        xs = tuple(torch.tensor(x_ts[i]) for i in range(B))
+        ss = tuple(torch.tensor(x_static[i]) for i in range(B))
+        tt = [torch.tensor(times[i]) for i in range(B)]
+        t_static, t_feats, t_times, n_steps = ref.feats_to_input(
+            (xs, ss, tt), B)
+        j_in, j_static = jduett.feats_to_input(
+            None, jnp.asarray(x_ts), jnp.asarray(x_static), train=False)
+        assert_close(j_in, t_feats, name="x_in")
+        assert_close(j_static, t_static)
+        assert n_steps == [T] * B
