@@ -321,3 +321,145 @@ class TestDuettEncodeParity:
         assert_close(j_in, t_feats, name="x_in")
         assert_close(j_static, t_static)
         assert n_steps == [T] * B
+
+
+# =============================================================================
+# LocalTrajectoryEncoder (models/main_architecture_duett.py:1242-1391)
+# =============================================================================
+def gru_from_torch(gru: torch.nn.GRU) -> dict:
+    """torch GRU (1 layer) → flax GRUCell params. torch gate order is r,z,n;
+    flax GRUCell has ir/iz/in (bias) and hr/hz/hn (bias only on hn, so the
+    r/z input biases absorb b_ih + b_hh — mathematically identical."""
+    d = gru.hidden_size
+    wi = t2n(gru.weight_ih_l0)   # [3d, d_in]
+    wh = t2n(gru.weight_hh_l0)   # [3d, d]
+    bi = t2n(gru.bias_ih_l0)
+    bh = t2n(gru.bias_hh_l0)
+    return {
+        "ir": {"kernel": wi[:d].T, "bias": bi[:d] + bh[:d]},
+        "iz": {"kernel": wi[d:2 * d].T, "bias": bi[d:2 * d] + bh[d:2 * d]},
+        "in": {"kernel": wi[2 * d:].T, "bias": bi[2 * d:]},
+        "hr": {"kernel": wh[:d].T},
+        "hz": {"kernel": wh[d:2 * d].T},
+        "hn": {"kernel": wh[2 * d:].T, "bias": bh[2 * d:]},
+    }
+
+
+def test_local_trajectory_encoder_parity():
+    from multimodal_edema_prediction_tpu.models.trajectory import (
+        LocalTrajectoryEncoder)
+    from ref_harness import dense_from, ln_from
+    torch.manual_seed(0)
+    V, T, d, B = 6, 24, 32, 3
+    ref = REF["models"].LocalTrajectoryEncoder(
+        n_vars=V, n_timesteps=T, d_model=d, n_layers=1, dropout=0.1).eval()
+    randomize_module(ref, seed=21)
+    rng = np.random.default_rng(22)
+    vals = rng.normal(size=(B, T, V)).astype(np.float32)
+    cnts = rng.integers(0, 4, size=(B, T, V)).astype(np.float32)
+    # a variable with NO observations in one window → padding-mask coverage
+    cnts[:, :T // 2, 0] = 0.0
+    x = np.concatenate([vals, cnts], axis=-1)
+    xs = tuple(torch.tensor(x[i]) for i in range(B))
+    with torch.no_grad():
+        t_tokens, t_pad = ref(xs, return_padding_mask=True)
+
+    params = {
+        "input_proj": dense_from(ref.input_proj[0]),
+        "input_norm": ln_from(ref.input_proj[2]),
+        "variable_embedding": {
+            "embedding": t2n(ref.variable_embedding.weight)},
+        "hour_embedding": {"embedding": t2n(ref.hour_embedding.weight)},
+        "GRUCell_0": gru_from_torch(ref.temporal),
+        "window_embedding": t2n(ref.window_embedding.weight),
+        "output_norm": ln_from(ref.output_norm),
+        "rep_token": t2n(ref.rep_token),
+    }
+    mod = LocalTrajectoryEncoder(n_vars=V, n_timesteps=T, d_model=d,
+                                 dropout=0.1)
+    j_tokens, j_pad = mod.apply({"params": params}, jnp.asarray(x),
+                                train=False, return_padding_mask=True)
+    assert_close(j_tokens, t_tokens, atol=3e-4, rtol=5e-4,
+                 name="traj_tokens")
+    np.testing.assert_array_equal(np.asarray(j_pad), t2n(t_pad))
+
+
+# =============================================================================
+# TeacherModel 'dual' glue: frozen pretrained CXR head + keep_idx re-indexing
+# (models/main_architecture_duett.py:1047-1071, 1139-1140).
+# NOTE: the reference's DualPathologyPerceiver class itself is commented out
+# in the checked-in tree (SURVEY.md §7.3) — the genuine reference surface for
+# 'dual' mode is the TeacherModel ckpt-load + keep_idx indexing tested here;
+# the perceiver reconstruction is covered by tests/test_teacher_modes.py.
+# =============================================================================
+def test_dual_mode_pretrained_head_keep_idx(tmp_path):
+    from multimodal_edema_prediction_tpu.models.teacher import (
+        PretrainedCXRHead)
+    from ref_harness import dense_from
+    torch.manual_seed(0)
+    d_img, B = 64, 3
+    pretrained_labels = ["label_cardiomegaly", "label_pneumonia",
+                         "label_atelectasis", "label_opacity",
+                         "label_consolidation", "label_edema",
+                         "label_effusion"]
+    pathology_labels = ("label_edema", "label_cardiomegaly",
+                        "label_effusion", "label_pneumonia")
+
+    # fabricate the CXR-head ckpt exactly as cxr_linear_training.ipynb cell 13
+    clf = torch.nn.Sequential(torch.nn.Dropout(0.1),
+                              torch.nn.Linear(d_img, 7))
+    randomize_module(clf, seed=23)
+    ckpt = tmp_path / "cxr_head.pt"
+    torch.save({"classifier_state_dict": clf.state_dict(),
+                "label_cols": pretrained_labels, "num_classes": 7}, ckpt)
+
+    class _StubPerceiver(torch.nn.Module):
+        d_latent = 16
+
+    duett = REF["models"].DuettFeatureExtractor(
+        d_static_num=4, d_time_series_num=5, d_target=1, pretrain=False).eval()
+    teacher = REF["models"].TeacherModel(
+        duett_backbone=duett, cxr_encoder=torch.nn.Identity(),
+        perceiver=_StubPerceiver(), d_img=d_img, dual_pathology_mode=True,
+        pretrained_cxr_head_ckpt=str(ckpt),
+        pathology_labels=pathology_labels).eval()
+
+    keep_idx = [pretrained_labels.index(c) for c in pathology_labels]
+    assert list(t2n(teacher.cxr_head_keep_idx)) == keep_idx
+    assert not any(p.requires_grad
+                   for p in teacher.pretrained_cxr_head.parameters())
+
+    rng = np.random.default_rng(24)
+    cls_np = rng.normal(size=(B, d_img)).astype(np.float32)
+    with torch.no_grad():
+        t_img_logits = teacher.pretrained_cxr_head(
+            torch.tensor(cls_np))[:, teacher.cxr_head_keep_idx]
+
+    # my side: the exact composition in models/teacher.py:130-136
+    head = PretrainedCXRHead(n_pretrained=7, d_img=d_img)
+    head_params = {"linear": dense_from(clf[1])}
+    logits7 = head.apply({"params": head_params}, jnp.asarray(cls_np))
+    j_img_logits = logits7[:, jnp.asarray(keep_idx)]
+    assert_close(j_img_logits, t_img_logits, name="dual_img_logits")
+
+
+def test_dual_mode_missing_label_raises(tmp_path):
+    """Reference raises when pathology_labels has a label the pretrained
+    head never saw (models/main_architecture_duett.py:1056-1059)."""
+    clf = torch.nn.Sequential(torch.nn.Dropout(0.1), torch.nn.Linear(8, 2))
+    ckpt = tmp_path / "h.pt"
+    torch.save({"classifier_state_dict": clf.state_dict(),
+                "label_cols": ["label_edema", "label_effusion"],
+                "num_classes": 2}, ckpt)
+    duett = REF["models"].DuettFeatureExtractor(
+        d_static_num=4, d_time_series_num=5, d_target=1, pretrain=False)
+
+    class _StubPerceiver(torch.nn.Module):
+        d_latent = 16
+
+    with pytest.raises(ValueError):
+        REF["models"].TeacherModel(
+            duett_backbone=duett, cxr_encoder=torch.nn.Identity(),
+            perceiver=_StubPerceiver(), d_img=8, dual_pathology_mode=True,
+            pretrained_cxr_head_ckpt=str(ckpt),
+            pathology_labels=("label_edema", "label_pneumonia"))
