@@ -34,6 +34,29 @@ def add_analysis_flags(p: argparse.ArgumentParser, needs_ckpt: bool = True):
     p.add_argument("--n_boot", type=int, default=200)
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="analysis_out")
+    p.add_argument("--cxr_jpeg_root", type=str, default="",
+                   help="directory of {image_id}.jpg files — run the "
+                        "analysis on REAL CXRs (native decode) instead of "
+                        "procedural images")
+
+
+def make_image_source(args, anchor_ds, vit_cfg):
+    """Image source for analysis eval steps.
+
+    With ``--cxr_jpeg_root``: attaches the native-JPEG decode hook to the
+    dataset so every batch carries real ``pixel_values`` (reference analyses
+    always run on real CXRs, e.g. visualize_pathology.py:208-281); returns
+    the pass-through source. Otherwise returns the procedural-image source.
+    """
+    root = getattr(args, "cxr_jpeg_root", "")
+    if root:
+        from ..data.images import JpegStore, make_jpeg_host_fn
+        from ..train import engine
+        anchor_ds.batch_hook = make_jpeg_host_fn(
+            JpegStore(root=root), vit_cfg.image_size)
+        return engine.default_image_source
+    from ..train.teacher_loop import make_synthetic_image_source
+    return make_synthetic_image_source(vit_cfg.image_size)
 
 
 def load_analysis_data(args, n_variables: Optional[int] = None):

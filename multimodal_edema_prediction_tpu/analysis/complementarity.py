@@ -176,10 +176,10 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from ..train.teacher_loop import make_synthetic_image_source
+    from .common import make_image_source
     result = run(model, cfg, params, batch_stats, anchor_ds,
                  dcfg.pathology_labels, args.split, args.batch_size,
-                 make_synthetic_image_source(cfg.vit.image_size),
+                 make_image_source(args, anchor_ds, cfg.vit),
                  args.threshold_method)
     print(format_table(result))
     os.makedirs(args.out_dir, exist_ok=True)

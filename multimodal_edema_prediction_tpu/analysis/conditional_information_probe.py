@@ -123,24 +123,13 @@ def grade_evidence(delta: float, ci_lo: float, p_perm: float) -> str:
     return "not_detected"
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser("conditional information probes")
-    add_analysis_flags(p)
-    p.add_argument("--n_perm", type=int, default=30)
-    p.add_argument("--label_idx", type=int, default=0)
-    args = p.parse_args(argv)
-
-    model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
-    _, meta, anchor_ds, dcfg = load_analysis_data(
-        args, n_variables=cfg.duett.n_variables)
-    from ..train.teacher_loop import make_synthetic_image_source
-    image_source = make_synthetic_image_source(cfg.vit.image_size)
-
+def run_label(model, cfg, params, batch_stats, anchor_ds, image_source,
+              args, label_idx: int) -> dict:
     tr = collect_with_tokens(model, params, batch_stats, anchor_ds, "train",
-                             args.batch_size, image_source, args.label_idx)
+                             args.batch_size, image_source, label_idx)
     ev = collect_with_tokens(model, params, batch_stats, anchor_ds,
                              args.split, args.batch_size, image_source,
-                             args.label_idx)
+                             label_idx)
 
     results = {}
     scores = {}
@@ -167,23 +156,48 @@ def main(argv=None):
             "ci_lo": ci["lo"], "ci_hi": ci["hi"],
             "p_conditional_perm": p_perm,
             "evidence": grade_evidence(delta, ci["lo"], p_perm)})
+    return results
 
-    print(f"{'probe':<18s} {'AUROC':>7s} {'dAUROC':>8s} "
-          f"{'95% CI':>20s} {'p_perm':>7s}  evidence")
-    for name in PROBES:
-        r = results[name]
-        if name == "image_cal":
-            print(f"{name:<18s} {r['auroc']:>7.4f}")
-        else:
-            print(f"{name:<18s} {r['auroc']:>7.4f} "
-                  f"{r['delta_auroc_vs_image']:>+8.4f} "
-                  f"[{r['ci_lo']:+.4f}, {r['ci_hi']:+.4f}] "
-                  f"{r['p_conditional_perm']:>7.3f}  {r['evidence']}")
+
+def main(argv=None):
+    p = argparse.ArgumentParser("conditional information probes")
+    add_analysis_flags(p)
+    p.add_argument("--n_perm", type=int, default=30)
+    p.add_argument("--label_idx", type=int, default=-1,
+                   help="-1 (default) sweeps ALL pathology labels, matching "
+                        "the reference analysis scope")
+    args = p.parse_args(argv)
+
+    model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
+    _, meta, anchor_ds, dcfg = load_analysis_data(
+        args, n_variables=cfg.duett.n_variables)
+    from .common import make_image_source
+    image_source = make_image_source(args, anchor_ds, cfg.vit)
+
+    labels = dcfg.pathology_labels
+    idxs = range(len(labels)) if args.label_idx < 0 else [args.label_idx]
+    all_results = {}
+    for li in idxs:
+        results = run_label(model, cfg, params, batch_stats, anchor_ds,
+                            image_source, args, li)
+        all_results[labels[li]] = results
+        print(f"== {labels[li]} ==")
+        print(f"{'probe':<18s} {'AUROC':>7s} {'dAUROC':>8s} "
+              f"{'95% CI':>20s} {'p_perm':>7s}  evidence")
+        for name in PROBES:
+            r = results[name]
+            if name == "image_cal":
+                print(f"{name:<18s} {r['auroc']:>7.4f}")
+            else:
+                print(f"{name:<18s} {r['auroc']:>7.4f} "
+                      f"{r['delta_auroc_vs_image']:>+8.4f} "
+                      f"[{r['ci_lo']:+.4f}, {r['ci_hi']:+.4f}] "
+                      f"{r['p_conditional_perm']:>7.3f}  {r['evidence']}")
     os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir,
                            "conditional_information_probe.json"), "w") as f:
-        json.dump(results, f, indent=2, default=float)
-    return results
+        json.dump(all_results, f, indent=2, default=float)
+    return all_results
 
 
 if __name__ == "__main__":

@@ -152,9 +152,9 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, _ = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from ..train.teacher_loop import make_synthetic_image_source
+    from .common import make_image_source
     r = run_diagnostics(model, params, batch_stats, anchor_ds,
-                        make_synthetic_image_source(cfg.vit.image_size),
+                        make_image_source(args, anchor_ds, cfg.vit),
                         args.split, args.batch_size, args.n_batches)
     print(format_report(r))
     os.makedirs(args.out_dir, exist_ok=True)

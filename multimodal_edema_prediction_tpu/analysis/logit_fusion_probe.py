@@ -97,8 +97,8 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from ..train.teacher_loop import make_synthetic_image_source
-    image_source = make_synthetic_image_source(cfg.vit.image_size)
+    from .common import make_image_source
+    image_source = make_image_source(args, anchor_ds, cfg.vit)
 
     mesh = meshlib.create_mesh()
     eval_step = engine.make_teacher_eval(model, anchor_ds.n_timesteps,

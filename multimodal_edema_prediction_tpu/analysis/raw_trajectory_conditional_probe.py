@@ -8,22 +8,29 @@ per-variable raw summary blocks from the window itself (:75-110, :329-483)
     trajectory   slope of observed values over time, last-minus-first
     observation  observed-hour count, time since last observation
 
-then fits a **frozen-image offset-logistic** correction (:563-747): logits =
-image_logit (fixed offset) + X·w; an exact-null candidate (w = 0) competes via
-inner CV so the probe can't win by overfitting. Inference: subject-cluster
-bootstrap CIs (:760-801) and conditional permutation within image-risk bins
-(:804-840).
+then fits a **frozen-image offset-logistic** correction with the reference's
+full model-selection machinery (:563-747):
+
+- candidate grid of L2 strengths PLUS an exact-null candidate (w = 0, which
+  reproduces the calibrated image predictor exactly),
+- stratified inner CV with per-fold median-impute + standardization (stats
+  fit on the fold-train only — no eval leakage),
+- null tolerance: the null wins ties, so the probe cannot win by overfitting,
+- final refit on the full train split with the selected candidate.
+
+Inference: subject-cluster bootstrap CIs (:760-801) and conditional
+permutation within image-risk bins (:804-840). All pathology labels are swept
+by default (``--label_idx -1``).
 """
 from __future__ import annotations
 
 import argparse
 import json
 import os
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..ops import metrics as M
 from ..train import engine
@@ -32,10 +39,17 @@ from .common import (add_analysis_flags, gather_host_windows,
                      subject_cluster_bootstrap)
 
 BLOCKS = ("level", "trajectory", "observation")
+L2_GRID = (1e-4, 1e-3, 1e-2, 1e-1, 1.0, 10.0, 100.0)   # ref :225-227
+NULL_TOLERANCE = 5e-4                                  # ref :229-236
 
 
 def raw_summaries(x_ts: np.ndarray, blocks=BLOCKS) -> np.ndarray:
-    """[N, T, 2V] windows → [N, F] raw per-variable summary features."""
+    """[N, T, 2V] windows → [N, F] raw per-variable summary features.
+
+    NOTE: returns RAW (unstandardized) features; standardization is fit on
+    the training fold inside :func:`fit_offset_correction` (the round-1
+    version standardized globally, leaking eval statistics).
+    """
     N, T, C = x_ts.shape
     V = C // 2
     values, counts = x_ts[..., :V], x_ts[..., V:]
@@ -76,70 +90,213 @@ def raw_summaries(x_ts: np.ndarray, blocks=BLOCKS) -> np.ndarray:
                            (T - 1 - (T - 1 - np.argmax(obs[:, ::-1, :],
                                                        axis=1))) / T, 1.0)
         feats += [n_obs, recency.astype(np.float32)]
-    X = np.concatenate(feats, axis=1).astype(np.float32)
-    mu, sd = X.mean(0), X.std(0) + 1e-6
-    return (X - mu) / sd
+    return np.concatenate(feats, axis=1).astype(np.float32)
 
 
-def fit_offset_logistic(X, y, offset, l2: float = 1e-2, steps: int = 500,
-                        lr: float = 5e-2):
-    """minimize masked BCE(σ(offset + Xw + b)) + l2‖w‖²; returns (w, b)."""
-    Xj, yj, oj = jnp.asarray(X), jnp.asarray(y), jnp.asarray(offset)
-    params = {"w": jnp.zeros(X.shape[1]), "b": jnp.asarray(0.0)}
-    tx = optax.adam(lr)
-    st = tx.init(params)
-
-    @jax.jit
-    def step(p, s):
-        def loss(p):
-            logits = oj + Xj @ p["w"] + p["b"]
-            bce = jnp.mean(jnp.maximum(logits, 0) - logits * yj
-                           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
-            return bce + l2 * jnp.sum(p["w"] ** 2)
-        g = jax.grad(loss)(p)
-        up, s = tx.update(g, s, p)
-        return optax.apply_updates(p, up), s
-
-    for _ in range(steps):
-        params, st = step(params, st)
-    return np.asarray(params["w"]), float(params["b"])
+# =============================================================================
+# Offset-logistic correction with exact-null candidate search (ref :563-747)
+# =============================================================================
+def _bce_from_scores(y: np.ndarray, score: np.ndarray) -> float:
+    s = np.asarray(score, np.float64)
+    y = np.asarray(y, np.float64)
+    return float(np.mean(np.maximum(s, 0) - s * y + np.log1p(np.exp(-np.abs(s)))))
 
 
-def cv_selects_model(X, y, offset, n_folds: int = 3, seed: int = 0) -> bool:
-    """Inner CV: does the offset-logistic beat the exact null (w=0)?"""
+def fit_offset_weights(X: np.ndarray, y: np.ndarray, offset: np.ndarray,
+                       l2: float, max_iter: int = 200) -> np.ndarray:
+    """L-BFGS fit of w only in σ(offset + X·w) + ½·l2·‖w‖²."""
+    from scipy.optimize import minimize
+    from scipy.special import expit
+    X64 = np.asarray(X, np.float64)
+    y64 = np.asarray(y, np.float64)
+    o64 = np.asarray(offset, np.float64)
+    n = len(y64)
+
+    def obj(w):
+        s = o64 + X64 @ w
+        loss = _bce_from_scores(y64, s) + 0.5 * l2 * float(w @ w)
+        grad = X64.T @ (expit(s) - y64) / n + l2 * w
+        return loss, grad
+
+    res = minimize(obj, np.zeros(X64.shape[1]), method="L-BFGS-B", jac=True,
+                   options={"maxiter": max_iter, "ftol": 1e-11, "gtol": 1e-7})
+    return np.asarray(res.x, np.float64)
+
+
+@dataclass
+class Standardizer:
+    """Median-impute + z-score, fit on the training fold only."""
+    median: np.ndarray
+    mu: np.ndarray
+    sd: np.ndarray
+
+    @classmethod
+    def fit(cls, X: np.ndarray) -> "Standardizer":
+        med = np.nanmedian(X, axis=0)
+        med = np.where(np.isfinite(med), med, 0.0)
+        Xi = np.where(np.isfinite(X), X, med)
+        mu = Xi.mean(axis=0)
+        sd = Xi.std(axis=0)
+        sd = np.where(sd > 0, sd, 1.0)
+        return cls(median=med, mu=mu, sd=sd)
+
+    def __call__(self, X: np.ndarray) -> np.ndarray:
+        Xi = np.where(np.isfinite(X), X, self.median)
+        return (Xi - self.mu) / self.sd
+
+
+def _stratified_folds(y: np.ndarray, n_folds: int, seed: int):
+    """Class-stratified fold assignment (reference uses StratifiedKFold)."""
     rng = np.random.default_rng(seed)
-    order = rng.permutation(len(y))
-    folds = np.array_split(order, n_folds)
-    model_bce, null_bce = [], []
-    for f in range(n_folds):
-        te = folds[f]
-        tr = np.concatenate([folds[i] for i in range(n_folds) if i != f])
-        w, b = fit_offset_logistic(X[tr], y[tr], offset[tr])
-        logits = offset[te] + X[te] @ w + b
-        model_bce.append(M.bce_per_sample(logits, y[te]).mean())
-        null_bce.append(M.bce_per_sample(offset[te], y[te]).mean())
-    return float(np.mean(model_bce)) < float(np.mean(null_bce))
+    fold = np.empty(len(y), np.int64)
+    for cls in np.unique(y):
+        idx = np.nonzero(y == cls)[0]
+        idx = rng.permutation(idx)
+        fold[idx] = np.arange(len(idx)) % n_folds
+    return [(np.nonzero(fold != f)[0], np.nonzero(fold == f)[0])
+            for f in range(n_folds)]
+
+
+@dataclass
+class OffsetCorrection:
+    standardizer: Standardizer
+    weights: np.ndarray
+    selected_l2: Optional[float]          # None → exact null won
+    cv_results: Dict[str, float]          # candidate → mean inner-CV BCE
+
+    @property
+    def null_selected(self) -> bool:
+        return self.selected_l2 is None
+
+    def decision(self, offset: np.ndarray, X_raw: np.ndarray) -> np.ndarray:
+        return offset + self.standardizer(X_raw) @ self.weights
+
+
+def fit_offset_correction(X_raw: np.ndarray, y: np.ndarray,
+                          offset: np.ndarray,
+                          l2_grid: Sequence[float] = L2_GRID,
+                          cv_folds: int = 5,
+                          null_tolerance: float = NULL_TOLERANCE,
+                          seed: int = 0) -> OffsetCorrection:
+    """Inner-CV candidate search with an exact zero-correction null.
+
+    The image offset is never re-estimated or regularized, so the null
+    candidate reproduces the calibrated image predictor exactly; ties (within
+    ``null_tolerance``) go to the null.
+    """
+    names = ["null"] + [f"l2={v:g}" for v in l2_grid]
+    losses: Dict[str, list] = {n: [] for n in names}
+    for tr, va in _stratified_folds(y, cv_folds, seed):
+        std = Standardizer.fit(X_raw[tr])
+        Xtr, Xva = std(X_raw[tr]), std(X_raw[va])
+        losses["null"].append(_bce_from_scores(y[va], offset[va]))
+        for l2 in l2_grid:
+            w = fit_offset_weights(Xtr, y[tr], offset[tr], l2)
+            losses[f"l2={l2:g}"].append(
+                _bce_from_scores(y[va], offset[va] + Xva @ w))
+    mean_losses = {n: float(np.mean(v)) for n, v in losses.items()}
+    best = min((n for n in names if n != "null"), key=mean_losses.__getitem__)
+    if mean_losses["null"] <= mean_losses[best] + null_tolerance:
+        sel_l2 = None
+    else:
+        sel_l2 = float(best.split("=", 1)[1])
+
+    std = Standardizer.fit(X_raw)
+    if sel_l2 is None:
+        w = np.zeros(X_raw.shape[1], np.float64)
+    else:
+        w = fit_offset_weights(std(X_raw), y, offset, sel_l2)
+    return OffsetCorrection(standardizer=std, weights=w, selected_l2=sel_l2,
+                            cv_results=mean_losses)
+
+
+# =============================================================================
+# Per-label probe
+# =============================================================================
+def run_label(xw_tr, img_tr, y_tr, xw_ev, img_ev, y_ev, sid_ev,
+              args) -> dict:
+    results = {}
+    X_tr_all = raw_summaries(xw_tr)
+    X_ev_all = raw_summaries(xw_ev)
+    base_auroc = M.auroc(y_ev, img_ev)
+    results["image_only"] = {"auroc": base_auroc}
+
+    corr = fit_offset_correction(X_tr_all, y_tr, img_tr,
+                                 cv_folds=args.cv_folds,
+                                 null_tolerance=args.null_tolerance,
+                                 seed=args.seed)
+    scores = corr.decision(img_ev, X_ev_all)
+    auroc = M.auroc(y_ev, scores)
+
+    def boot(idx):
+        return M.auroc(y_ev[idx], scores[idx]) - M.auroc(y_ev[idx],
+                                                         img_ev[idx])
+
+    ci = subject_cluster_bootstrap(sid_ev, boot, args.n_boot, args.seed)
+
+    # conditional permutation within image-risk quintiles (ref :804-840)
+    rng = np.random.default_rng(args.seed)
+    edges = np.quantile(img_tr, np.linspace(0, 1, 6))
+    bins = np.clip(np.searchsorted(edges, img_tr) - 1, 0, 4)
+    nulls = []
+    for _ in range(args.n_perm):
+        Xp = X_tr_all.copy()
+        for bnum in range(5):
+            sel = np.nonzero(bins == bnum)[0]
+            Xp[sel] = X_tr_all[rng.permutation(sel)]
+        cp = fit_offset_correction(Xp, y_tr, img_tr, seed=args.seed)
+        nulls.append(M.auroc(y_ev, cp.decision(img_ev, X_ev_all)))
+    p_perm = float((np.asarray(nulls) >= auroc).mean())
+
+    results["offset_logistic"] = {
+        "auroc": auroc, "delta_vs_image": auroc - base_auroc,
+        "selected_l2": corr.selected_l2,
+        "null_selected": corr.null_selected,
+        "inner_cv_bce": corr.cv_results,
+        "ci_lo": ci["lo"], "ci_hi": ci["hi"],
+        "p_conditional_perm": p_perm,
+        "evidence": ("supported" if not corr.null_selected and ci["lo"] > 0
+                     and p_perm < 0.05 else
+                     "suggestive" if not corr.null_selected
+                     and auroc > base_auroc else
+                     "not_detected"),
+    }
+
+    # per-block ablation, each with its own candidate search
+    for block in BLOCKS:
+        Xb_tr = raw_summaries(xw_tr, blocks=(block,))
+        Xb_ev = raw_summaries(xw_ev, blocks=(block,))
+        cb = fit_offset_correction(Xb_tr, y_tr, img_tr, seed=args.seed)
+        results[f"block_{block}"] = {
+            "auroc": M.auroc(y_ev, cb.decision(img_ev, Xb_ev)),
+            "null_selected": cb.null_selected,
+        }
+    return results
 
 
 def main(argv=None):
     p = argparse.ArgumentParser("raw-TS conditional probe")
     add_analysis_flags(p)
-    p.add_argument("--label_idx", type=int, default=0)
+    p.add_argument("--label_idx", type=int, default=-1,
+                   help="-1 (default) sweeps ALL pathology labels")
     p.add_argument("--n_perm", type=int, default=20)
+    p.add_argument("--cv_folds", type=int, default=5)
+    p.add_argument("--null_tolerance", type=float, default=NULL_TOLERANCE)
     args = p.parse_args(argv)
 
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from ..train.teacher_loop import make_synthetic_image_source
+    from .common import make_image_source
     eval_step = engine.make_teacher_eval_from_windows(
-        model, image_source=make_synthetic_image_source(cfg.vit.image_size))
+        model, image_source=make_image_source(args, anchor_ds, cfg.vit))
     a = anchor_ds.anchor
-    li = args.label_idx
 
     def collect(split):
+        """One model sweep collecting ALL labels' logits (the label loop
+        below then slices — no per-label re-inference)."""
         idx_all = anchor_ds.splits[split]
-        xw, img, y, sid = [], [], [], []
+        xw, img, y, mask, sid = [], [], [], [], []
         n = len(idx_all) - len(idx_all) % args.batch_size
         for i in range(0, n, args.batch_size):
             idx = idx_all[i:i + args.batch_size]
@@ -150,85 +307,52 @@ def main(argv=None):
                      "bin_ends": np.broadcast_to(
                          anchor_ds.bin_ends,
                          (len(idx), anchor_ds.n_timesteps))}
+            if anchor_ds.batch_hook is not None:
+                batch = anchor_ds.batch_hook(batch)
             o = eval_step(params, batch_stats, x_ts, x_static, batch)
-            keep = a["y_multi_mask"][idx][:, li] > 0
-            xw.append(x_ts[keep])
-            img.append(np.asarray(o["img_logits"])[keep, li])
-            y.append(a["y_multi"][idx][keep, li])
-            sid.append(a["subject_ids"][idx][keep])
+            xw.append(x_ts)
+            img.append(np.asarray(o["img_logits"]))
+            y.append(a["y_multi"][idx])
+            mask.append(a["y_multi_mask"][idx])
+            sid.append(a["subject_ids"][idx])
         return (np.concatenate(xw), np.concatenate(img), np.concatenate(y),
-                np.concatenate(sid))
+                np.concatenate(mask), np.concatenate(sid))
 
-    xw_tr, img_tr, y_tr, _ = collect("train")
-    xw_ev, img_ev, y_ev, sid_ev = collect(args.split)
+    xw_tr, img_tr, y_tr, m_tr, _ = collect("train")
+    xw_ev, img_ev, y_ev, m_ev, sid_ev = collect(args.split)
     # feature schema equality guard (reference :888-889)
     assert xw_tr.shape[1:] == xw_ev.shape[1:], "train/eval schema mismatch"
 
-    results = {}
-    X_tr_all = raw_summaries(xw_tr)
-    X_ev_all = raw_summaries(xw_ev)
-    base_auroc = M.auroc(y_ev, img_ev)
-    results["image_only"] = {"auroc": base_auroc}
-
-    selected = cv_selects_model(X_tr_all, y_tr, img_tr, seed=args.seed)
-    w, b = fit_offset_logistic(X_tr_all, y_tr, img_tr)
-    scores = img_ev + X_ev_all @ w + b
-    auroc = M.auroc(y_ev, scores)
-
-    def boot(idx):
-        return M.auroc(y_ev[idx], scores[idx]) - M.auroc(y_ev[idx],
-                                                         img_ev[idx])
-
-    ci = subject_cluster_bootstrap(sid_ev, boot, args.n_boot, args.seed)
-
-    # conditional permutation within image-risk quintiles
-    rng = np.random.default_rng(args.seed)
-    edges = np.quantile(img_tr, np.linspace(0, 1, 6))
-    bins = np.clip(np.searchsorted(edges, img_tr) - 1, 0, 4)
-    nulls = []
-    for _ in range(args.n_perm):
-        Xp = X_tr_all.copy()
-        for bnum in range(5):
-            sel = np.nonzero(bins == bnum)[0]
-            Xp[sel] = X_tr_all[rng.permutation(sel)]
-        wp, bp = fit_offset_logistic(Xp, y_tr, img_tr)
-        nulls.append(M.auroc(y_ev, img_ev + X_ev_all @ wp + bp))
-    p_perm = float((np.asarray(nulls) >= auroc).mean())
-
-    results["offset_logistic"] = {
-        "auroc": auroc, "delta_vs_image": auroc - base_auroc,
-        "cv_beats_exact_null": bool(selected),
-        "ci_lo": ci["lo"], "ci_hi": ci["hi"],
-        "p_conditional_perm": p_perm,
-        "evidence": ("supported" if selected and ci["lo"] > 0
-                     and p_perm < 0.05 else
-                     "suggestive" if auroc > base_auroc else
-                     "not_detected"),
-    }
-
-    # per-block ablation
-    for block in BLOCKS:
-        Xb_tr = raw_summaries(xw_tr, blocks=(block,))
-        Xb_ev = raw_summaries(xw_ev, blocks=(block,))
-        wb, bb = fit_offset_logistic(Xb_tr, y_tr, img_tr)
-        results[f"block_{block}"] = {
-            "auroc": M.auroc(y_ev, img_ev + Xb_ev @ wb + bb)}
-
-    print(f"{'probe':<18s} {'AUROC':>7s} {'delta':>8s}  evidence")
-    print(f"{'image_only':<18s} {base_auroc:>7.4f}")
-    r = results["offset_logistic"]
-    print(f"{'offset_logistic':<18s} {r['auroc']:>7.4f} "
-          f"{r['delta_vs_image']:>+8.4f}  {r['evidence']} "
-          f"(CI [{r['ci_lo']:+.4f},{r['ci_hi']:+.4f}], "
-          f"p={r['p_conditional_perm']:.3f})")
-    for block in BLOCKS:
-        print(f"{'block_' + block:<18s} "
-              f"{results['block_' + block]['auroc']:>7.4f}")
+    labels = dcfg.pathology_labels
+    idxs = range(len(labels)) if args.label_idx < 0 else [args.label_idx]
+    all_results = {}
+    for li in idxs:
+        ktr = m_tr[:, li] > 0
+        kev = m_ev[:, li] > 0
+        if ktr.sum() < 20 or kev.sum() < 20 or \
+                len(np.unique(y_tr[ktr, li])) < 2:
+            all_results[labels[li]] = {"skipped": "insufficient labels"}
+            continue
+        results = run_label(xw_tr[ktr], img_tr[ktr, li], y_tr[ktr, li],
+                            xw_ev[kev], img_ev[kev, li], y_ev[kev, li],
+                            sid_ev[kev], args)
+        all_results[labels[li]] = results
+        r = results["offset_logistic"]
+        print(f"== {labels[li]} ==")
+        print(f"{'image_only':<18s} {results['image_only']['auroc']:>7.4f}")
+        print(f"{'offset_logistic':<18s} {r['auroc']:>7.4f} "
+              f"{r['delta_vs_image']:>+8.4f}  {r['evidence']} "
+              f"(l2={r['selected_l2']}, "
+              f"CI [{r['ci_lo']:+.4f},{r['ci_hi']:+.4f}], "
+              f"p={r['p_conditional_perm']:.3f})")
+        for block in BLOCKS:
+            print(f"{'block_' + block:<18s} "
+                  f"{results['block_' + block]['auroc']:>7.4f}")
     os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir, "raw_trajectory_probe.json"),
               "w") as f:
-        json.dump(results, f, indent=2, default=float)
-    return results
+        json.dump(all_results, f, indent=2, default=float)
+    return all_results
 
 
 if __name__ == "__main__":

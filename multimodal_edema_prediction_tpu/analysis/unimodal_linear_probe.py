@@ -152,9 +152,9 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from ..train.teacher_loop import make_synthetic_image_source
+    from .common import make_image_source
     feats = extract_features(model, params, batch_stats, anchor_ds,
-                             make_synthetic_image_source(cfg.vit.image_size),
+                             make_image_source(args, anchor_ds, cfg.vit),
                              args.batch_size,
                              args.save_features or None)
     a, s = anchor_ds.anchor, anchor_ds.splits

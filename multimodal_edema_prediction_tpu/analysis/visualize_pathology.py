@@ -184,10 +184,10 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from ..train.teacher_loop import make_synthetic_image_source
+    from .common import make_image_source
     data = _collect(model, params, batch_stats, anchor_ds, args.split,
                     args.batch_size,
-                    make_synthetic_image_source(cfg.vit.image_size),
+                    make_image_source(args, anchor_ds, cfg.vit),
                     args.max_batches or 8)
     os.makedirs(args.out_dir, exist_ok=True)
     labels = dcfg.pathology_labels

@@ -80,9 +80,14 @@ def main(argv=None):
     vit_params = DinoViT(vit_cfg).init(
         jax.random.key(0),
         jnp.zeros((1, vit_cfg.image_size, vit_cfg.image_size, 3)))["params"]
+    jpeg_store = None
+    if getattr(args, "cxr_jpeg_root", ""):
+        from ..data.images import JpegStore
+        jpeg_store = JpegStore(root=args.cxr_jpeg_root)
     cls = extract_cls_features(
         vit_params, vit_cfg, make_synthetic_image_source(vit_cfg.image_size),
-        catalog.image_ids, catalog.labels, args.batch_size)
+        catalog.image_ids, catalog.labels, args.batch_size,
+        jpeg_store=jpeg_store)
     head = CXRLinearHead(len(label_cols))
     logits = np.asarray(head.apply({"params": ckpt["params"]},
                                    jnp.asarray(cls), train=False))

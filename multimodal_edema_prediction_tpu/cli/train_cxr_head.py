@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--ckpt_dir", type=str, default="runs/cxr_head")
     p.add_argument("--feature_cache", type=str, default="")
+    p.add_argument("--cxr_jpeg_root", type=str, default="",
+                   help="directory of {image_id}.jpg catalog files — extract "
+                        "features from REAL CXRs (native decode)")
     args = p.parse_args(argv)
 
     log = Logger("cxr_head")
@@ -60,10 +63,15 @@ def main(argv=None):
             jax.random.key(0), jnp.zeros((1, S_, S_, 3)))["params"]
         log.info("using randomly initialized ViT (no weights provided)")
 
+    jpeg_store = None
+    if args.cxr_jpeg_root:
+        from ..data.images import JpegStore
+        jpeg_store = JpegStore(root=args.cxr_jpeg_root)
+        log.info(f"extracting features from real JPEGs: {args.cxr_jpeg_root}")
     cls = extract_cls_features(
         vit_params, vit_cfg, make_synthetic_image_source(vit_cfg.image_size),
         catalog.image_ids, catalog.labels, args.batch_size,
-        args.feature_cache or None)
+        args.feature_cache or None, jpeg_store=jpeg_store)
     splits = split_catalog_subjects(catalog.subject_ids, catalog.labels,
                                     args.seed)
     os.makedirs(args.ckpt_dir, exist_ok=True)

@@ -48,9 +48,18 @@ def split_catalog_subjects(subject_ids: np.ndarray, labels: np.ndarray,
 def extract_cls_features(vit_params, vit_cfg: ViTConfig, image_source,
                          image_ids: np.ndarray, labels: np.ndarray,
                          batch_size: int = 64,
-                         cache_path: Optional[str] = None) -> np.ndarray:
+                         cache_path: Optional[str] = None,
+                         jpeg_store=None) -> np.ndarray:
+    """``jpeg_store`` switches the catalog sweep to real images: JPEG bytes
+    are native-decoded on the host per chunk (the reference extracts features
+    from the real 240k-image catalog, cxr_linear_training.ipynb cells 6-9)."""
     if cache_path and os.path.exists(cache_path):
         return np.load(cache_path)["cls"]
+
+    if jpeg_store is not None:
+        from ..data.images import decode_batch
+        from ..train.engine import default_image_source
+        image_source = default_image_source
 
     @jax.jit
     def step(batch):
@@ -62,9 +71,13 @@ def extract_cls_features(vit_params, vit_cfg: ViTConfig, image_source,
     N = len(image_ids)
     for i in range(0, N, batch_size):
         idx = np.arange(i, min(i + batch_size, N))
-        out.append(np.asarray(step({
+        batch = {
             "image_ids": image_ids[idx].astype(np.int32),
-            "y_multi": np.nan_to_num(labels[idx], nan=0.0)})))
+            "y_multi": np.nan_to_num(labels[idx], nan=0.0)}
+        if jpeg_store is not None:
+            blobs = [jpeg_store.get(j) for j in image_ids[idx]]
+            batch["pixel_values"] = decode_batch(blobs, vit_cfg.image_size)
+        out.append(np.asarray(step(batch)))
     cls = np.concatenate(out)
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)

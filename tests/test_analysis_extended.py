@@ -49,12 +49,25 @@ def _flags(ckpt, out_dir, extra=()):
 def test_conditional_information_probe(teacher_ckpt, tmp_path):
     from multimodal_edema_prediction_tpu.analysis import \
         conditional_information_probe as C
+    # default --label_idx -1 sweeps ALL labels; results keyed per label
     results = C.main(_flags(teacher_ckpt, str(tmp_path),
-                            ["--n_perm", "5"]))
+                            ["--n_perm", "5", "--label_idx", "0"]))
+    assert list(results.keys()) == ["label_edema"]
     for name in C.PROBES[1:]:
-        assert results[name]["evidence"] in {"supported", "suggestive",
-                                             "not_detected"}
-        assert np.isfinite(results[name]["p_conditional_perm"])
+        r = results["label_edema"][name]
+        assert r["evidence"] in {"supported", "suggestive", "not_detected"}
+        assert np.isfinite(r["p_conditional_perm"])
+
+
+@pytest.mark.slow
+def test_conditional_probe_all_labels(teacher_ckpt, tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        conditional_information_probe as C
+    from multimodal_edema_prediction_tpu.config import \
+        DEFAULT_PATHOLOGY_LABELS
+    results = C.main(_flags(teacher_ckpt, str(tmp_path),
+                            ["--n_perm", "2", "--n_boot", "5"]))
+    assert set(results.keys()) == set(DEFAULT_PATHOLOGY_LABELS)
 
 
 @pytest.mark.slow
@@ -122,3 +135,69 @@ def test_cxr_head_pipeline_and_why_multimodal(tmp_path):
     assert r["G0_all"]["n"] == (r["G1_non_icu"]["n"]
                                 + r["G2_icu_unanchored"]["n"]
                                 + r["G3_icu_anchor"]["n"])
+
+
+def test_offset_correction_null_wins_on_noise():
+    """Pure-noise features: the exact-null candidate must win the inner CV
+    (the probe cannot claim TS signal by overfitting)."""
+    from multimodal_edema_prediction_tpu.analysis import \
+        raw_trajectory_conditional_probe as R
+    rng = np.random.default_rng(0)
+    N, F = 2000, 12    # large N: spurious OOF gains shrink below tolerance
+    X = rng.normal(size=(N, F))
+    offset = rng.normal(size=N)
+    y = (rng.random(N) < 1 / (1 + np.exp(-offset))).astype(np.float32)
+    corr = R.fit_offset_correction(X, y, offset, seed=0)
+    assert corr.null_selected
+    assert np.all(corr.weights == 0.0)
+    # and the signal case: features that ARE the residual signal win
+    z = rng.normal(size=N)
+    y2 = (rng.random(N) < 1 / (1 + np.exp(-(offset + 2 * z)))).astype(
+        np.float32)
+    X2 = np.concatenate([z[:, None], rng.normal(size=(N, F - 1))], axis=1)
+    corr2 = R.fit_offset_correction(X2, y2, offset, seed=0)
+    assert not corr2.null_selected
+    assert "null" in corr2.cv_results and len(corr2.cv_results) == 1 + len(
+        R.L2_GRID)
+
+
+@pytest.mark.slow
+def test_raw_trajectory_probe_all_labels(teacher_ckpt, tmp_path):
+    from multimodal_edema_prediction_tpu.analysis import \
+        raw_trajectory_conditional_probe as R
+    from multimodal_edema_prediction_tpu.config import \
+        DEFAULT_PATHOLOGY_LABELS
+    results = R.main(_flags(teacher_ckpt, str(tmp_path),
+                            ["--n_perm", "2", "--n_boot", "5"]))
+    assert set(results.keys()) == set(DEFAULT_PATHOLOGY_LABELS)
+    r = results["label_edema"]["offset_logistic"]
+    assert "inner_cv_bce" in r and "null" in r["inner_cv_bce"]
+    assert r["evidence"] in {"supported", "suggestive", "not_detected"}
+
+
+@pytest.mark.slow
+def test_analysis_on_real_jpegs(teacher_ckpt, tmp_path):
+    """--cxr_jpeg_root drives an analysis script on REAL decoded JPEGs
+    (VERDICT round-1 item 5): writes one jpg per anchor image_id, runs
+    residual_by_confidence end-to-end through the native decode hook."""
+    import io
+    from PIL import Image
+    import argparse
+    from multimodal_edema_prediction_tpu.analysis import \
+        residual_by_confidence as RBC
+    from multimodal_edema_prediction_tpu.analysis.common import \
+        load_analysis_data
+
+    # the EXACT dataset the analysis CLI will rebuild from these flags
+    ns = argparse.Namespace(data_dir="", synthetic_stays=400, n_variables=8)
+    _, _, ads, _ = load_analysis_data(ns)
+    jpg_dir = tmp_path / "jpegs"
+    jpg_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for img_id in np.unique(ads.anchor["image_ids"]):
+        arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(jpg_dir / f"{int(img_id)}.jpg")
+
+    out = RBC.main(_flags(teacher_ckpt, str(tmp_path / "out"),
+                          ["--cxr_jpeg_root", str(jpg_dir)]))
+    assert out is not None
