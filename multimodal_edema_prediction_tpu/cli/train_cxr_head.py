@@ -34,6 +34,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--ckpt_dir", type=str, default="runs/cxr_head")
     p.add_argument("--feature_cache", type=str, default="")
+    p.add_argument("--head_batch_size", type=int, default=0,
+                   help="mini-batch size for head training (0 = full batch)")
+    p.add_argument("--uncertain_policy", type=str, default="to_positive",
+                   choices=["to_positive", "to_zero", "keep"],
+                   help="U(-1) label mapping at the CXR-head level "
+                        "(reference: U->1, cxr_db.ipynb cell 24)")
     p.add_argument("--cxr_jpeg_root", type=str, default="",
                    help="directory of {image_id}.jpg catalog files — extract "
                         "features from REAL CXRs (native decode)")
@@ -78,6 +84,8 @@ def main(argv=None):
     result = train_cxr_head(
         cls, catalog.labels, splits, DEFAULT_PATHOLOGY_LABELS,
         os.path.join(args.ckpt_dir, "cxr_linear_head.msgpack"),
+        batch_size=args.head_batch_size,
+        uncertain_policy=args.uncertain_policy,
         lr=args.lr, epochs=args.epochs, dropout=args.dropout,
         seed=args.seed, logger=log)
     log.info(f"saved → {result['ckpt_path']}")

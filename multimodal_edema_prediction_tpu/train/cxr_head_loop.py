@@ -89,10 +89,19 @@ def train_cxr_head(cls_features: np.ndarray, labels: np.ndarray,
                    splits: dict, label_cols: Sequence[str], ckpt_path: str,
                    lr: float = 1e-3, weight_decay: float = 1e-4,
                    epochs: int = 50, dropout: float = 0.2, seed: int = 0,
+                   batch_size: int = 0,
+                   uncertain_policy: str = "to_positive",
                    logger: Optional[Logger] = None) -> dict:
+    """``uncertain_policy='to_positive'`` applies the reference's U→1
+    mapping at the CXR-head level (cxr_db.ipynb cell 24) before masking;
+    ``batch_size=0`` keeps the full-batch path (fine at 240k×768 f32),
+    ``>0`` trains mini-batch like the reference (cxr_linear_training.ipynb
+    cell 10) — robust when the feature matrix outgrows HBM."""
+    from ..data.cxr_catalog import apply_uncertain_policy
     log = logger or Logger("cxr_head")
     K = labels.shape[1]
     head = CXRLinearHead(K, dropout)
+    labels = apply_uncertain_policy(labels, uncertain_policy)
     mask = (~np.isnan(labels)).astype(np.float32)
     y = np.nan_to_num(labels, nan=0.0).astype(np.float32)
 
@@ -104,7 +113,7 @@ def train_cxr_head(cls_features: np.ndarray, labels: np.ndarray,
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_epoch(params, opt_state, rng):
+    def full_batch_epoch(params, opt_state, rng):
         def loss(p):
             logits = head.apply({"params": p}, x_tr, train=True,
                                 rngs={"dropout": rng})
@@ -112,6 +121,31 @@ def train_cxr_head(cls_features: np.ndarray, labels: np.ndarray,
         g = jax.grad(loss)(params)
         up, opt_state2 = tx.update(g, opt_state, params)
         return optax.apply_updates(params, up), opt_state2
+
+    @jax.jit
+    def minibatch_step(params, opt_state, rng, xb, yb, mb):
+        def loss(p):
+            logits = head.apply({"params": p}, xb, train=True,
+                                rngs={"dropout": rng})
+            return masked_per_label_bce(logits, yb, mb).sum()
+        g = jax.grad(loss)(params)
+        up, opt_state2 = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, up), opt_state2
+
+    n_tr = int(x_tr.shape[0])
+    shuffle_rng = np.random.default_rng(seed)
+
+    def train_epoch(params, opt_state, rng):
+        if batch_size <= 0 or batch_size >= n_tr:
+            return full_batch_epoch(params, opt_state, rng)
+        order = shuffle_rng.permutation(n_tr)
+        stop = n_tr - n_tr % batch_size
+        for i in range(0, stop, batch_size):
+            b = order[i:i + batch_size]
+            rng, sub = jax.random.split(rng)
+            params, opt_state = minibatch_step(
+                params, opt_state, sub, x_tr[b], y_tr[b], m_tr[b])
+        return params, opt_state
 
     @jax.jit
     def predict(params, x):
