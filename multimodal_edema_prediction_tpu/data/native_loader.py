@@ -48,6 +48,10 @@ def load_native(build: bool = True):
     lib.densify_events.restype = None
     lib.gather_windows.restype = None
     lib.decode_jpeg_batch.restype = None
+    try:
+        lib.decode_jpeg_batch_u8.restype = None
+    except AttributeError:   # stale .so predating the u8 cache path
+        pass
     _lib = lib
     return lib
 
@@ -116,4 +120,25 @@ def decode_jpeg_batch_native(blobs: list, side: int, mean, std,
         _f32p(np.asarray(mean, np.float32)),
         _f32p(np.asarray(std, np.float32)),
         _f32p(out), _i32p(status), ctypes.c_int32(n_threads))
+    return out, status
+
+
+def decode_jpeg_batch_u8_native(blobs: list, side: int, n_threads: int = 4
+                                ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """list of JPEG byte strings → ([N, side, side, 3] uint8, status) —
+    the decode-once cache-fill path (no normalization; device normalizes)."""
+    lib = load_native()
+    if lib is None or not hasattr(lib, "decode_jpeg_batch_u8"):
+        return None
+    offsets = np.zeros(len(blobs) + 1, np.int64)
+    for i, b in enumerate(blobs):
+        offsets[i + 1] = offsets[i] + len(b)
+    blob = np.frombuffer(b"".join(blobs), np.uint8)
+    out = np.zeros((len(blobs), side, side, 3), np.uint8)
+    status = np.zeros(len(blobs), np.int32)
+    lib.decode_jpeg_batch_u8(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i64p(offsets), ctypes.c_int64(len(blobs)), ctypes.c_int32(side),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i32p(status), ctypes.c_int32(n_threads))
     return out, status

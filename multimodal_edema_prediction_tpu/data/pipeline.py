@@ -255,6 +255,15 @@ class AnchorDataset:
     def iter_batches(self, name: str, batch_size: int, shuffle: bool,
                      seed: int = 0, drop_last: Optional[bool] = None,
                      limit: int = 0) -> Iterator[dict]:
+        """Yield fixed-shape batches; ``batch_size`` is the GLOBAL batch.
+
+        Multi-process: the global index order (seeded permutation + padding)
+        is identical on every host; each host slices its contiguous
+        ``batch_size/process_count`` rows (and runs its own ``batch_hook``,
+        e.g. JPEG decode, only on those) while keeping global label copies
+        under ``_global`` for evaluation. See
+        ``parallel.multihost.split_batch_for_process``.
+        """
         idx = self.splits[name]
         if shuffle:
             idx = np.random.default_rng(seed).permutation(idx)
@@ -274,6 +283,8 @@ class AnchorDataset:
             else:
                 batch = self.anchor_batch(b)
                 batch["valid"] = np.ones(batch_size, np.float32)
+            from ..parallel.multihost import split_batch_for_process
+            batch = split_batch_for_process(batch)
             if self.batch_hook is not None:
                 batch = self.batch_hook(batch)
             yield batch

@@ -49,6 +49,7 @@ class SlidingSSLDataset:
 
     def iter_batches(self, name: str, batch_size: int, shuffle: bool,
                      seed: int = 0, limit: int = 0) -> Iterator[dict]:
+        from ..parallel.multihost import split_batch_for_process
         pairs = self.samples[name]
         if shuffle:
             pairs = np.random.default_rng(seed).permutation(pairs)
@@ -56,12 +57,12 @@ class SlidingSSLDataset:
         count = 0
         for i in range(0, n, batch_size):
             b = pairs[i:i + batch_size]
-            yield {
+            yield split_batch_for_process({
                 "stay_rows": b[:, 0],
                 "slot_idx": b[:, 1] + self.n_timesteps,  # slot_end convention
                 "bin_ends": np.broadcast_to(
                     self.bin_ends, (batch_size, self.n_timesteps)),
-            }
+            })
             count += 1
             if limit and count >= limit:
                 return
@@ -77,6 +78,8 @@ class StayLabelDataset(SlidingSSLDataset):
     def iter_batches(self, name, batch_size, shuffle, seed=0, limit=0):
         for b in super().iter_batches(name, batch_size, shuffle, seed, limit):
             b["y"] = self.labels[b["stay_rows"]]
+            if "_global" in b:   # multi-process: global label copy for eval
+                b["_global"]["y"] = self.labels[b["_global"]["stay_rows"]]
             yield b
 
     def pos_frac(self, name: str = "train") -> float:

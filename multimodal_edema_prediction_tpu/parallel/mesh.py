@@ -38,10 +38,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Ship a host batch to the mesh, leading axis split over ``data``."""
+    """Ship a host batch to the mesh, leading axis split over ``data``.
+
+    Multi-process: the batch is this host's LOCAL slice (see
+    ``multihost.split_batch_for_process``); the global logical array is
+    stitched from per-process buffers with no cross-host copy. Host-only
+    side-channel keys (``_global`` label copies) are dropped from the device
+    batch — evaluators read them from the host batch directly.
+    """
+    batch = {k: v for k, v in batch.items() if not k.startswith("_")}
     sh = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda a: jax.device_put(np.asarray(a), sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a), sh), batch)
+
+    def place(a):
+        a = np.asarray(a)
+        gshape = (a.shape[0] * jax.process_count(),) + a.shape[1:]
+        return jax.make_array_from_process_local_data(sh, a, gshape)
+
+    return jax.tree.map(place, batch)
 
 
 # --- tensor-parallel parameter rules (ViT is the only big matmul owner) ---

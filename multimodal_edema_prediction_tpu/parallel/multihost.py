@@ -1,10 +1,14 @@
 """Multi-host (multi-process) utilities.
 
-The reference scales with single-node DDP only (SURVEY §2.4); this module is
-the TPU-pod path: `jax.distributed` process initialization, per-host local
-batch feeding into globally-sharded arrays, and host-side metric gathering.
-Everything degrades to a no-op in single-process runs, so the training loops
-are identical on one chip and on a pod.
+The reference scales with single-node DDP only (SURVEY §2.4; HF Accelerate /
+Lightning DDP in ``training_duett/trainer.py:217-218,707-716``); this module
+is the TPU-pod path: ``jax.distributed`` process initialization, per-host
+local batch feeding into globally-sharded arrays, and host-side metric
+gathering. Everything degrades to a no-op in single-process runs, so the
+training loops are identical on one chip and on a pod.
+
+Multi-host runs are data-parallel over the pod (``n_model == 1``): parameters
+replicate, batches shard over ``data``, and XLA's gradient ``psum`` rides ICI.
 """
 from __future__ import annotations
 
@@ -13,7 +17,11 @@ from typing import Optional
 import jax
 import numpy as np
 
-from .mesh import batch_sharding
+from .mesh import replicated
+
+# host-side label/index keys kept globally (for evaluation) when batches are
+# process-sliced; see split_batch_for_process.
+GLOBAL_LABEL_KEYS = ("y", "y_multi", "y_multi_mask", "valid", "stay_rows")
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -39,6 +47,39 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def process_count() -> int:
+    return jax.process_count()
+
+
+def split_batch_for_process(batch: dict) -> dict:
+    """Slice a GLOBAL host batch down to this process's local shard.
+
+    Every leading-dim array is sliced to rows
+    ``[pid*local : (pid+1)*local]``; the label/valid arrays additionally keep
+    their full global copies under ``batch["_global"]`` so evaluators can
+    align globally-gathered logits with labels. No-op single-process.
+
+    The global batch construction (index order, padding) is identical on all
+    hosts — datasets iterate the same seeded permutation — so the slices are
+    disjoint and cover the global batch in process order, matching
+    ``jax.make_array_from_process_local_data`` reassembly.
+    """
+    pcount = jax.process_count()
+    if pcount == 1:
+        return batch
+    pid = jax.process_index()
+    B = len(batch["stay_rows"])
+    if B % pcount:
+        raise ValueError(f"global batch {B} not divisible by "
+                         f"{pcount} processes")
+    local = B // pcount
+    sl = slice(pid * local, (pid + 1) * local)
+    out = {k: np.asarray(v)[sl] for k, v in batch.items()}
+    out["_global"] = {k: np.asarray(batch[k])
+                      for k in GLOBAL_LABEL_KEYS if k in batch}
+    return out
+
+
 def global_batch_from_local(batch: dict, mesh) -> dict:
     """Assemble a globally-sharded batch from this process's LOCAL shard.
 
@@ -46,17 +87,46 @@ def global_batch_from_local(batch: dict, mesh) -> dict:
     local batch × process_count); `jax.make_array_from_process_local_data`
     stitches the global logical array without any cross-host copy.
     """
-    sharding = batch_sharding(mesh)
+    from .mesh import shard_batch
+    return shard_batch(batch, mesh)
 
-    def place(a):
-        a = np.asarray(a)
-        if jax.process_count() == 1:
-            return jax.device_put(a, sharding)
-        global_shape = (a.shape[0] * jax.process_count(),) + a.shape[1:]
-        return jax.make_array_from_process_local_data(sharding, a,
-                                                      global_shape)
 
-    return jax.tree.map(place, batch)
+def replicate_to_mesh(a, mesh):
+    """Host array → globally replicated jax.Array over the full mesh.
+
+    Single-process: plain ``device_put``. Multi-process: every host supplies
+    the identical full array; ``make_array_from_process_local_data`` builds
+    the replicated global array without cross-host traffic.
+    """
+    sh = replicated(mesh)
+    a = np.asarray(a)
+    if jax.process_count() == 1:
+        return jax.device_put(a, sh)
+    return jax.make_array_from_process_local_data(sh, a, a.shape)
+
+
+def fetch_global(x) -> np.ndarray:
+    """Device output → full host numpy on EVERY process.
+
+    Fully-addressable (single-process) and fully-replicated arrays convert
+    directly; data-sharded global arrays all-gather across processes first
+    (tiled over the leading axis — the ``data`` batch axis)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def maybe_raw_key(key):
+    """PRNG key in jit-input form: multi-process runs pass the raw numpy key
+    bits (numpy inputs replicate globally; a typed key committed to the local
+    default device would name a different physical device on each host).
+    ``jax.random.split``/``fold_in`` accept raw uint32 keys unchanged."""
+    if jax.process_count() == 1:
+        return key
+    return np.asarray(jax.random.key_data(key))
 
 
 def gather_metrics(x):

@@ -23,7 +23,8 @@ from flax import serialization
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda a: np.asarray(a), tree)
+    from ..parallel.multihost import fetch_global
+    return jax.tree.map(fetch_global, tree)
 
 
 def save_checkpoint(path: str, params, batch_stats, step: int, metric: float,
@@ -81,7 +82,9 @@ def restore_tolerant(template_params, loaded_params,
                             f"shape mismatch at {path}: "
                             f"{np.shape(lv)} vs {np.shape(tv)}")
                 else:
-                    out[k] = jnp.asarray(lv, jnp.asarray(tv).dtype)
+                    # host numpy: jit replicates it on any mesh (a local
+                    # jnp array would pin to one device — wrong multi-host)
+                    out[k] = np.asarray(lv, dtype=tv.dtype)
         return out
 
     return walk(template_params, loaded_params, ""), changed

@@ -119,6 +119,16 @@ def make_ssl_step(model, duett_cfg: DuettConfig, n_timesteps: int,
 # Teacher (dual_patch / dual) — training_duett/engine.py:135-264
 # =============================================================================
 def default_image_source(batch):
+    """Pixel batch from the host pipeline. Two layouts:
+
+    - ``pixel_values``: decoded+normalized float32 (JPEG host path);
+    - ``pixel_u8``: decode-once uint8 cache — ¼ the host→device bytes of
+      f32; the [0,1]-scale + mean/std normalization fuses into the jitted
+      step here (device work, effectively free next to the ViT).
+    """
+    if "pixel_u8" in batch:
+        from ..models.vit import normalize_image
+        return normalize_image(batch["pixel_u8"].astype(jnp.float32) / 255.0)
     return batch["pixel_values"]
 
 
@@ -165,12 +175,14 @@ def make_teacher_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
                 losses["aux_residual"] = aux
                 total = total + cfg.aux_residual_alpha * aux
             if lp_mode:
+                # expose the regularizer terms for telemetry
+                # (trainer.py:506-517 logs reg_beta_l2/reg_corr_l2)
                 beta = params["perceiver"]["beta"]
-                if lp_beta_l2 > 0:
-                    total = total + lp_beta_l2 * (beta ** 2).mean()
-                if lp_corr_l2 > 0:
-                    total = total + lp_corr_l2 * \
-                        (out["scaled_correction"] ** 2).mean()
+                reg_b = lp_beta_l2 * (beta ** 2).mean()
+                reg_c = lp_corr_l2 * (out["scaled_correction"] ** 2).mean()
+                losses["reg_beta_l2"] = reg_b
+                losses["reg_corr_l2"] = reg_c
+                total = total + reg_b + reg_c
             losses["total"] = total
             return total, (mut, losses, out)
 

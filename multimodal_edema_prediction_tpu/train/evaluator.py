@@ -17,21 +17,28 @@ from ..parallel import mesh as meshlib
 
 def collect_dual_outputs(eval_step, params, batch_stats, dataset, split: str,
                          batch_size: int, mesh, limit: int = 0) -> dict:
-    """Stream a split through the teacher eval step → host arrays."""
+    """Stream a split through the teacher eval step → host arrays.
+
+    Multi-process: device outputs are gathered globally (every host gets the
+    full logit arrays) and aligned with the global label copies the dataset
+    keeps under ``batch["_global"]``; single-process this is a plain copy."""
+    from ..parallel.multihost import fetch_global
     acc = {k: [] for k in ("img", "ts", "fus", "corr", "y", "mask", "main")}
     for batch in dataset.iter_batches(split, batch_size, shuffle=False,
                                       limit=limit):
-        valid = batch.pop("valid") > 0
+        src = batch.get("_global", batch)
+        valid = np.asarray(src["valid"]) > 0
+        batch.pop("valid")
         dev_batch = meshlib.shard_batch(batch, mesh)
         out = eval_step(params, batch_stats, dataset.grid, dataset.static,
                         dev_batch)
-        acc["img"].append(np.asarray(out["img_logits"])[valid])
-        acc["ts"].append(np.asarray(out["ts_logits"])[valid])
-        acc["fus"].append(np.asarray(out["fusion_logits"])[valid])
-        acc["corr"].append(np.asarray(out["scaled_correction"])[valid])
-        acc["main"].append(np.asarray(out["main_logit"])[valid])
-        acc["y"].append(batch["y_multi"][valid])
-        acc["mask"].append(batch["y_multi_mask"][valid])
+        acc["img"].append(fetch_global(out["img_logits"])[valid])
+        acc["ts"].append(fetch_global(out["ts_logits"])[valid])
+        acc["fus"].append(fetch_global(out["fusion_logits"])[valid])
+        acc["corr"].append(fetch_global(out["scaled_correction"])[valid])
+        acc["main"].append(fetch_global(out["main_logit"])[valid])
+        acc["y"].append(np.asarray(src["y_multi"])[valid])
+        acc["mask"].append(np.asarray(src["y_multi_mask"])[valid])
     return {k: np.concatenate(v) for k, v in acc.items()}
 
 
@@ -85,17 +92,20 @@ def evaluate_pathology(eval_step, params, batch_stats, dataset, split: str,
                        limit: int = 0) -> dict:
     """'single'-mode evaluation: per-label stage2/stage4 AUROC/AUPRC + gaps
     (evaluator.py:101-160). ``eval_step`` must return stage2/stage4 logits."""
+    from ..parallel.multihost import fetch_global
     acc = {k: [] for k in ("s2", "s4", "y", "mask")}
     for batch in dataset.iter_batches(split, batch_size, shuffle=False,
                                       limit=limit):
-        valid = batch.pop("valid") > 0
+        src = batch.get("_global", batch)
+        valid = np.asarray(src["valid"]) > 0
+        batch.pop("valid")
         dev_batch = meshlib.shard_batch(batch, mesh)
         out = eval_step(params, batch_stats, dataset.grid, dataset.static,
                         dev_batch)
-        acc["s2"].append(np.asarray(out["stage2_logits"])[valid])
-        acc["s4"].append(np.asarray(out["stage4_logits"])[valid])
-        acc["y"].append(batch["y_multi"][valid])
-        acc["mask"].append(batch["y_multi_mask"][valid])
+        acc["s2"].append(fetch_global(out["stage2_logits"])[valid])
+        acc["s4"].append(fetch_global(out["stage4_logits"])[valid])
+        acc["y"].append(np.asarray(src["y_multi"])[valid])
+        acc["mask"].append(np.asarray(src["y_multi_mask"])[valid])
     o = {k: np.concatenate(v) for k, v in acc.items()}
     per = M.masked_multilabel_metrics(o["y"], o["mask"],
                                       {"stage2": o["s2"], "stage4": o["s4"]})

@@ -21,6 +21,7 @@ from ..data.pipeline import AnchorDataset
 from ..models.student import StudentModel
 from ..models.teacher import TeacherModel
 from ..parallel import mesh as meshlib
+from ..parallel import multihost as mh
 from ..utils.logging import Logger
 from . import engine
 from .checkpoint import BestKTracker, load_checkpoint
@@ -48,6 +49,7 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                      ssl_backbone_ckpt: Optional[str] = None) -> TrainResult:
     log = logger or Logger("student_kd")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
+    multi = mh.process_count() > 1
     dtype = jnp.dtype(cfg.dtype)
     T = dataset.n_timesteps
 
@@ -61,11 +63,13 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
 
     student = StudentModel(student_cfg)
     V = student_cfg.duett.n_variables
-    x_in = jnp.zeros((cfg.batch_size, T, 2 * V + 1), dtype)
-    x_static = jnp.zeros((cfg.batch_size, student_cfg.duett.d_static), dtype)
-    times = jnp.zeros((cfg.batch_size, T), dtype)
-    variables = jax.jit(student.init)({"params": jax.random.key(cfg.seed)},
-                             x_in, x_static, times)
+    x_in = np.zeros((cfg.batch_size, T, 2 * V + 1), dtype)
+    x_static = np.zeros((cfg.batch_size, student_cfg.duett.d_static), dtype)
+    times = np.zeros((cfg.batch_size, T), dtype)
+    init = jax.jit(student.init, out_shardings=meshlib.replicated(mesh)) \
+        if multi else jax.jit(student.init)
+    variables = init({"params": mh.maybe_raw_key(jax.random.key(cfg.seed))},
+                     x_in, x_static, times)
     params, batch_stats = variables["params"], variables["batch_stats"]
     if ssl_backbone_ckpt:
         from .ssl_loop import transplant_encoder
@@ -82,19 +86,24 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
     if cfg.limit_batches > 0:
         steps_per_epoch = min(steps_per_epoch, cfg.limit_batches)
     tx = make_optimizer(cfg.optim, max(steps_per_epoch * cfg.epochs, 1))
-    state = TrainState.create(params, batch_stats, tx)
+    if multi:
+        state = jax.jit(lambda p, b: TrainState.create(p, b, tx))(
+            params, batch_stats)
+    else:
+        state = TrainState.create(params, batch_stats, tx)
 
     with mesh:
         kd_step = engine.make_kd_step(student, teacher_model, cfg,
                                       student_cfg.duett, T, dtype,
                                       image_source)
         eval_step = engine.make_supervised_ts_eval(student, T, dtype)
-        grid = jax.device_put(dataset.grid, meshlib.replicated(mesh))
-        static = jax.device_put(dataset.static, meshlib.replicated(mesh))
+        grid = mh.replicate_to_mesh(dataset.grid, mesh)
+        static = mh.replicate_to_mesh(dataset.static, mesh)
         dataset.grid, dataset.static = grid, static
-        rep = meshlib.replicated(mesh)
-        t_params = jax.device_put(t_params, rep)
-        t_stats = jax.device_put(t_stats, rep)
+        t_params = jax.tree.map(lambda a: mh.replicate_to_mesh(a, mesh),
+                                t_params)
+        t_stats = jax.tree.map(lambda a: mh.replicate_to_mesh(a, mesh),
+                               t_stats)
 
         stopper = EarlyStopper(cfg.patience, mode="max")
         tracker = BestKTracker(ckpt_dir, k=1, mode="max", prefix="best")
@@ -105,8 +114,14 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                     "teacher_ckpt": teacher_ckpt}
 
         keys = ("total", "bce", "kd")
+        best_vars = None
+
+        @jax.jit
+        def _acc_add(a, b):
+            return jax.tree.map(jnp.add, a, b)
+
         for epoch in range(cfg.epochs):
-            acc = []
+            acc = None
             nb = 0
             for batch in dataset.iter_batches(
                     "train", cfg.batch_size, shuffle=True,
@@ -115,20 +130,26 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                 dev_batch = meshlib.shard_batch(batch, mesh)
                 step_rng, sub = jax.random.split(step_rng)
                 state, out = kd_step(state, t_params, t_stats, grid, static,
-                                     dev_batch, sub)
-                acc.append({k: out[k] for k in keys})
+                                     dev_batch, mh.maybe_raw_key(sub))
+                cur = {k: out[k] for k in keys}
+                acc = cur if acc is None else _acc_add(acc, cur)
                 nb += 1
                 n_steps += 1
-            run = {k: float(jnp.stack([m[k] for m in acc]).sum())
-                   for k in keys} if acc else {k: 0.0 for k in keys}
+            run = {k: float(mh.fetch_global(acc[k])) for k in keys} \
+                if acc is not None else {k: 0.0 for k in keys}
 
             val = evaluate_binary_split(eval_step, state.params,
                                         state.batch_stats, dataset, "val",
                                         cfg.batch_size, mesh)
             improved = stopper.update(val["auroc"])
             if improved:
-                tracker.offer(val["auroc"], state.params, state.batch_stats,
-                              int(state.step), cfg_dict)
+                if multi:
+                    best_vars = jax.tree.map(
+                        mh.fetch_global, (state.params, state.batch_stats))
+                if mh.is_main_process():
+                    tracker.offer(val["auroc"], state.params,
+                                  state.batch_stats, int(state.step),
+                                  cfg_dict)
             history.append({"epoch": epoch,
                             **{f"train_{k}": v / max(nb, 1)
                                for k, v in run.items()}, **val})
@@ -141,12 +162,25 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                 break
 
         elapsed = time.time() - t0
-        tracker.ensure_saved(state.params, state.batch_stats,
-                             int(state.step), cfg_dict)
-        best_metric, best_path = tracker.best
-        ckpt = load_checkpoint(best_path)
-        test = evaluate_binary_split(eval_step, ckpt["params"],
-                                     ckpt["batch_stats"], dataset, "test",
+        if multi:
+            if mh.is_main_process():
+                tracker.ensure_saved(state.params, state.batch_stats,
+                                     int(state.step), cfg_dict)
+                best_metric, best_path = tracker.best
+            else:
+                best_metric, best_path = stopper.best or float("nan"), ""
+            if best_vars is None:
+                best_vars = jax.tree.map(
+                    mh.fetch_global, (state.params, state.batch_stats))
+            best_params, best_stats = best_vars
+        else:
+            tracker.ensure_saved(state.params, state.batch_stats,
+                                 int(state.step), cfg_dict)
+            best_metric, best_path = tracker.best
+            ckpt = load_checkpoint(best_path)
+            best_params, best_stats = ckpt["params"], ckpt["batch_stats"]
+        test = evaluate_binary_split(eval_step, best_params,
+                                     best_stats, dataset, "test",
                                      cfg.batch_size, mesh)
         log.info(f"test: auroc={test['auroc']:.4f} auprc={test['auprc']:.4f}")
 

@@ -62,17 +62,25 @@ class EarlyStopper:
 def evaluate_binary_split(eval_step, params, batch_stats, dataset,
                           split: str, batch_size: int, mesh,
                           limit: int = 0) -> Dict[str, float]:
-    """Streaming logit collection → AUROC/AUPRC (evaluator.py:10-37)."""
+    """Streaming logit collection → AUROC/AUPRC (evaluator.py:10-37).
+
+    Multi-process: logits come back globally gathered; labels/valid use the
+    global host copies the dataset keeps under ``batch["_global"]``."""
+    from ..parallel.multihost import fetch_global
     logits_all, y_all = [], []
     for batch in dataset.iter_batches(split, batch_size, shuffle=False,
                                       limit=limit):
-        valid = batch.pop("valid")
+        src = batch.get("_global", batch)
+        keep = np.asarray(src["valid"]) > 0 if "valid" in src else None
+        y = np.asarray(src["y"])
+        batch.pop("valid", None)
         dev_batch = meshlib.shard_batch(batch, mesh)
-        logits = np.asarray(eval_step(params, batch_stats, dataset.grid,
-                                      dataset.static, dev_batch))
-        keep = valid > 0
+        logits = fetch_global(eval_step(params, batch_stats, dataset.grid,
+                                        dataset.static, dev_batch))
+        if keep is None:
+            keep = np.ones(len(logits), bool)
         logits_all.append(logits[keep])
-        y_all.append(batch["y"][keep])
+        y_all.append(y[keep])
     return M.binary_metrics(np.concatenate(y_all), np.concatenate(logits_all))
 
 

@@ -21,6 +21,7 @@ from ..config import DuettConfig, TrainConfig
 from ..data.sliding import SlidingSSLDataset
 from ..models.duett import DuettPretrainModel
 from ..parallel import mesh as meshlib
+from ..parallel import multihost as mh
 from ..utils.logging import Logger
 from . import engine
 from .checkpoint import BestKTracker, load_checkpoint
@@ -36,6 +37,7 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
               logger: Optional[Logger] = None) -> TrainResult:
     log = logger or Logger("duett_ssl")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
+    multi = mh.process_count() > 1
     dtype = jnp.dtype(cfg.dtype)
     model = DuettPretrainModel(duett_cfg)
     T = dataset.n_timesteps
@@ -46,15 +48,19 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
     B = cfg.batch_size
     S = duett_cfg.pretrain_masked_steps
     pb = PretrainBatch(
-        x_in=jnp.zeros((B, T, 2 * V + 1), dtype),
-        mask_idx=jnp.zeros((B, S), jnp.int32),
-        y_value=jnp.zeros((B, S, V)), y_presence_mask=jnp.zeros((B, S, V)),
-        event_var=jnp.zeros((B,), jnp.int32),
-        y_events=jnp.zeros((B, T)), y_events_mask=jnp.zeros((B, T)))
-    x_static = jnp.zeros((B, duett_cfg.d_static), dtype)
-    times = jnp.zeros((B, T), dtype)
-    variables = jax.jit(model.init)({"params": jax.random.key(cfg.seed)}, pb,
-                           x_static, times)
+        x_in=np.zeros((B, T, 2 * V + 1), dtype),
+        mask_idx=np.zeros((B, S), np.int32),
+        y_value=np.zeros((B, S, V), np.float32),
+        y_presence_mask=np.zeros((B, S, V), np.float32),
+        event_var=np.zeros((B,), np.int32),
+        y_events=np.zeros((B, T), np.float32),
+        y_events_mask=np.zeros((B, T), np.float32))
+    x_static = np.zeros((B, duett_cfg.d_static), dtype)
+    times = np.zeros((B, T), dtype)
+    init = jax.jit(model.init, out_shardings=meshlib.replicated(mesh)) \
+        if multi else jax.jit(model.init)
+    variables = init({"params": mh.maybe_raw_key(jax.random.key(cfg.seed))},
+                     pb, x_static, times)
     params, batch_stats = variables["params"], variables["batch_stats"]
     log.info(f"SSL params: {param_count(params):,}")
 
@@ -62,13 +68,17 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(invsqrt_warmup(lr, warmup_steps),
                     weight_decay=weight_decay))
-    state = TrainState.create(params, batch_stats, tx)
+    if multi:
+        state = jax.jit(lambda p, b: TrainState.create(p, b, tx))(
+            params, batch_stats)
+    else:
+        state = TrainState.create(params, batch_stats, tx)
 
     with mesh:
         train_step = engine.make_ssl_step(model, duett_cfg, T, dtype)
         eval_step = engine.make_ssl_eval(model, duett_cfg, T, dtype)
-        grid = jax.device_put(dataset.grid, meshlib.replicated(mesh))
-        static = jax.device_put(dataset.static, meshlib.replicated(mesh))
+        grid = mh.replicate_to_mesh(dataset.grid, mesh)
+        static = mh.replicate_to_mesh(dataset.static, mesh)
         dataset.grid, dataset.static = grid, static
 
         tracker = BestKTracker(ckpt_dir, k=1, mode="min", prefix="pretrain")
@@ -79,21 +89,27 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
         cfg_dict = {"duett": duett_cfg.to_dict(), "train": cfg.to_dict()}
 
         # persist the meta contract next to the checkpoints
-        dataset.meta.save(os.path.join(ckpt_dir, "meta_with_stats.pkl"))
+        if mh.is_main_process():
+            dataset.meta.save(os.path.join(ckpt_dir, "meta_with_stats.pkl"))
 
+        add = jax.jit(jnp.add)
         for epoch in range(cfg.epochs):
-            losses = []
+            loss_sum, nb = None, 0
             for batch in dataset.iter_batches(
                     "train", cfg.batch_size, shuffle=True,
                     seed=cfg.seed + epoch, limit=cfg.limit_batches):
                 dev_batch = meshlib.shard_batch(batch, mesh)
                 step_rng, sub = jax.random.split(step_rng)
-                state, out = train_step(state, grid, static, dev_batch, sub)
-                losses.append(out["total"])     # device scalar; sync once
+                state, out = train_step(state, grid, static, dev_batch,
+                                        mh.maybe_raw_key(sub))
+                # device-scalar accumulation; one host sync per epoch
+                loss_sum = out["total"] if loss_sum is None \
+                    else add(loss_sum, out["total"])
+                nb += 1
                 n_steps += 1
-            train_loss = float(jnp.stack(losses).mean()) if losses \
+            train_loss = float(mh.fetch_global(loss_sum)) / nb if nb \
                 else float("nan")
-            if losses and not np.isfinite(train_loss):
+            if nb and not np.isfinite(train_loss):
                 raise FloatingPointError(
                     f"non-finite SSL loss at epoch {epoch}; aborting")
 
@@ -109,13 +125,13 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
                 dev_batch = meshlib.shard_batch(batch, mesh)
                 parts = eval_step(state.params, state.batch_stats, grid,
                                   static, dev_batch,
-                                  jax.random.key(1000 + i))
-                val_losses.append(float(parts["total"]))
+                                  mh.maybe_raw_key(jax.random.key(1000 + i)))
+                val_losses.append(float(mh.fetch_global(parts["total"])))
             val_loss = float(np.mean(val_losses)) if val_losses else \
                 float("nan")
 
             improved = stopper.update(val_loss)
-            if improved:
+            if improved and mh.is_main_process():
                 tracker.offer(-val_loss, state.params, state.batch_stats,
                               int(state.step), cfg_dict)
             history.append({"epoch": epoch, "train_loss": train_loss,
@@ -126,9 +142,14 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
                 break
 
         elapsed = time.time() - t0
-        tracker.ensure_saved(state.params, state.batch_stats,
-                             int(state.step), cfg_dict)
-        best_metric, best_path = tracker.best
+        if mh.is_main_process():
+            tracker.ensure_saved(state.params, state.batch_stats,
+                                 int(state.step), cfg_dict)
+            best_metric, best_path = tracker.best
+        else:
+            best_metric = -(stopper.best if stopper.best is not None
+                            else float("nan"))
+            best_path = ""
 
     sps = n_steps / max(elapsed, 1e-9)
     return TrainResult(best_metric=-best_metric, best_path=best_path,

@@ -26,6 +26,7 @@ from ..data.pipeline import AnchorDataset, synthetic_image_device
 from ..models.teacher import TeacherModel
 from ..models.vit import normalize_image
 from ..parallel import mesh as meshlib
+from ..parallel import multihost as mh
 from ..utils.logging import Logger
 from . import engine
 from .checkpoint import BestKTracker, load_checkpoint, restore_tolerant
@@ -70,6 +71,25 @@ def teacher_frozen_prefixes(cfg: TeacherConfig) -> tuple:
 
 LP_TRAINABLE = ("perceiver/correction_head", "perceiver/beta")
 
+# loss-part → wandb key, mirroring the reference's names
+# (training_duett/trainer.py:485-527)
+_WB_TRAIN_KEYS = {
+    "img_total": "train/img_loss", "ts_total": "train/ts_loss",
+    "fus_total": "train/fus_loss",
+    "aux_residual": "train/aux_residual_loss",
+    "reg_beta_l2": "train/lp_reg_beta_l2",
+    "reg_corr_l2": "train/lp_reg_corr_l2",
+    "stage2_total": "train/stage2_loss", "stage4_total": "train/stage4_loss",
+    "main_loss": "train/main_loss", "aux_loss": "train/aux_loss",
+}
+
+# per-label val/test scalars logged at reference depth (trainer.py:544-566)
+_WB_PER_LABEL_KEYS = (
+    "img_auroc", "ts_auroc", "fus_auroc", "gap_i2f", "gap_t2f",
+    "img_auprc", "ts_auprc", "fus_auprc", "beta",
+    "stage2_auroc", "stage4_auroc", "stage2_auprc", "stage4_auprc",
+)
+
 
 def lp_frozen_label_fn(path: str) -> str:
     """LP mode: only correction_head + beta train (trainer.py:194-202)."""
@@ -79,20 +99,28 @@ def lp_frozen_label_fn(path: str) -> str:
 
 
 def init_teacher(model: TeacherModel, cfg: TeacherConfig, batch_size: int,
-                 n_timesteps: int, rng) -> dict:
+                 n_timesteps: int, rng, out_sharding=None) -> dict:
     """Initialize parameters. Param shapes are batch-independent, so init
     runs jitted at batch 2 (eager init would dispatch hundreds of individual
-    ops — pathological under remote-compile TPU backends)."""
+    ops — pathological under remote-compile TPU backends).
+
+    ``out_sharding``: optional placement for the initialized variables —
+    multi-process runs pass ``replicated(mesh)`` so params are born globally
+    replicated (default-device placement would commit them to a different
+    physical device on each host)."""
     del batch_size
     V, D = cfg.duett.n_variables, cfg.duett.d_static
     S = cfg.vit.image_size
     B = 2
-    x_in = jnp.zeros((B, n_timesteps, 2 * V + 1))
-    x_static = jnp.zeros((B, D))
-    times = jnp.zeros((B, n_timesteps))
-    pixels = jnp.zeros((B, S, S, 3))
-    return jax.jit(model.init)({"params": rng}, x_in, x_static, times,
-                               pixels)
+    # numpy inputs: replicate cleanly under multi-process jit (a local
+    # jnp.zeros would be committed to a different device on each host)
+    x_in = np.zeros((B, n_timesteps, 2 * V + 1), np.float32)
+    x_static = np.zeros((B, D), np.float32)
+    times = np.zeros((B, n_timesteps), np.float32)
+    pixels = np.zeros((B, S, S, 3), np.float32)
+    init = jax.jit(model.init) if out_sharding is None else \
+        jax.jit(model.init, out_shardings=out_sharding)
+    return init({"params": rng}, x_in, x_static, times, pixels)
 
 
 def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
@@ -109,6 +137,11 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                   jpeg_store=None, prefetch_depth: int = 2) -> TrainResult:
     log = logger or Logger("teacher")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
+    multi = mh.process_count() > 1
+    if multi and cfg.n_model != 1:
+        raise ValueError("multi-process runs are data-parallel over the pod; "
+                         "set n_model=1 (TP spans hosts only via GSPMD "
+                         "single-controller, not jax.distributed)")
     dtype = jnp.dtype(cfg.dtype)
     static_keep_idx = None
     n_pretrained = len(pathology_labels)
@@ -140,8 +173,10 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
     lp_mode = lp_from is not None
 
     if init_variables is None:
-        variables = init_teacher(model, teacher_cfg, cfg.batch_size, T,
-                                 jax.random.key(cfg.seed))
+        variables = init_teacher(
+            model, teacher_cfg, cfg.batch_size, T,
+            mh.maybe_raw_key(jax.random.key(cfg.seed)),
+            out_sharding=meshlib.replicated(mesh) if multi else None)
     else:
         variables = init_variables
     params, batch_stats = variables["params"], variables["batch_stats"]
@@ -167,7 +202,13 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
         cfg.optim, total_steps,
         label_fn=lp_frozen_label_fn if lp_mode else default_label_fn,
         frozen_prefixes=() if lp_mode else teacher_frozen_prefixes(teacher_cfg))
-    state = TrainState.create(params, batch_stats, tx)
+    if multi:
+        # optimizer-state init must run as a global computation (params are
+        # globally replicated; eager zeros_like on them is illegal)
+        state = jax.jit(lambda p, b: TrainState.create(p, b, tx))(
+            params, batch_stats)
+    else:
+        state = TrainState.create(params, batch_stats, tx)
 
     mode = teacher_cfg.perceiver_type
     uses_dual = mode in ("dual_patch", "dual")
@@ -181,6 +222,10 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
             eval_step = engine.make_teacher_eval(model, T, dtype,
                                                  image_source)
             loss_keys = ("total", "img_total", "ts_total", "fus_total")
+            if cfg.aux_residual_alpha > 0.0:
+                loss_keys += ("aux_residual",)
+            if lp_mode:
+                loss_keys += ("reg_beta_l2", "reg_corr_l2")
         elif mode == "single":
             train_step = engine.make_teacher_pathology_step(
                 model, cfg, teacher_cfg.duett, T, lw, None, dtype,
@@ -233,8 +278,8 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                                       limit=limit)
             return r, r["auroc"], f"binary: {r}"
 
-        grid = jax.device_put(dataset.grid, meshlib.replicated(mesh))
-        static = jax.device_put(dataset.static, meshlib.replicated(mesh))
+        grid = mh.replicate_to_mesh(dataset.grid, mesh)
+        static = mh.replicate_to_mesh(dataset.static, mesh)
         dataset.grid, dataset.static = grid, static
 
         stopper = EarlyStopper(cfg.patience, mode="max")
@@ -244,12 +289,17 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
         t_start, n_steps = time.time(), 0
         cfg_dict = {"model": teacher_cfg.to_dict(), "train": cfg.to_dict(),
                     "pathology_labels": list(pathology_labels)}
+        best_vars = None   # multi-process: in-memory best (file is main-only)
+
+        @jax.jit
+        def _acc_add(a, b):
+            return jax.tree.map(jnp.add, a, b)
 
         for epoch in range(cfg.epochs):
             # accumulate metrics as device scalars; one host sync per epoch
             # (a per-step float() would serialize dispatch behind a host
             # round-trip — costly on remote/tunneled TPU backends)
-            acc = []
+            acc = None
             nb = 0
 
             def _host_batches():
@@ -268,27 +318,36 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                            for b in _host_batches())
             for dev_batch in batches:
                 step_rng, sub = jax.random.split(step_rng)
+                if multi:   # raw key bits: numpy inputs replicate globally
+                    sub = np.asarray(jax.random.key_data(sub))
                 state, out = train_step(state, grid, static, dev_batch, sub)
-                acc.append({k: out[k] for k in loss_keys})
+                cur = {k: out[k] for k in loss_keys}
+                acc = cur if acc is None else _acc_add(acc, cur)
                 nb += 1
                 n_steps += 1
-            run = {k: float(jnp.stack([m[k] for m in acc]).sum())
-                   for k in loss_keys} if acc else {k: 0.0 for k in loss_keys}
+            run = {k: float(mh.fetch_global(acc[k])) for k in loss_keys} \
+                if acc is not None else {k: 0.0 for k in loss_keys}
             if not np.isfinite(run[loss_keys[0]]):
                 raise FloatingPointError(
                     f"non-finite training loss at epoch {epoch} "
                     f"(loss={run[loss_keys[0]]}); aborting before the "
                     "optimizer state is poisoned — restore from the last "
                     "checkpoint")
-            beta = (np.asarray(state.params["perceiver"]["beta"])
+            beta = (mh.fetch_global(state.params["perceiver"]["beta"])
                     if uses_dual else None)
 
             val, val_metric, _ = run_eval(state.params, state.batch_stats,
                                           "val", beta)
             improved = stopper.update(val_metric)
             if improved:
-                tracker.offer(val_metric, state.params,
-                              state.batch_stats, int(state.step), cfg_dict)
+                if multi:   # every host keeps the best weights in memory —
+                    # hosts need not share a filesystem with process 0
+                    best_vars = jax.tree.map(
+                        mh.fetch_global, (state.params, state.batch_stats))
+                if mh.is_main_process():
+                    tracker.offer(val_metric, state.params,
+                                  state.batch_stats, int(state.step),
+                                  cfg_dict)
             history.append({"epoch": epoch,
                             **{f"train_{k}": v / max(nb, 1)
                                for k, v in run.items()},
@@ -299,15 +358,51 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                      f"{run[loss_keys[0]]/max(nb,1):.4f} ({parts})  "
                      f"val_AUROC={val_metric:.4f}"
                      f"{'  *' if improved else ''}")
-            log.metrics({"val/main_auroc": val_metric,
-                         "train/loss": run[loss_keys[0]] / max(nb, 1)},
-                        epoch)
+            # wandb telemetry at reference depth (trainer.py:481-566):
+            # per-part train losses, per-label val scalars + fusion gaps,
+            # β magnitude, LP regularizer terms, best-metric watermark.
+            wb = {"train/loss": run[loss_keys[0]] / max(nb, 1),
+                  "train/epoch": epoch,
+                  "val/auroc": val_metric,
+                  "val/main_auroc": val_metric}
+            for k in loss_keys[1:]:
+                wb[_WB_TRAIN_KEYS.get(k, f"train/{k}")] = run[k] / max(nb, 1)
+            if isinstance(val, dict):
+                if "main_auprc" in val:
+                    wb["val/auprc"] = val["main_auprc"]
+                for r in val.get("per_label", []):
+                    nm = r["name"]
+                    for key in _WB_PER_LABEL_KEYS:
+                        if key in r:
+                            wb[f"val/{nm}/{key}"] = r[key]
+            if lp_mode and uses_dual:
+                babs = np.abs(np.asarray(beta))
+                wb["train/lp_beta_mean_abs"] = float(babs.mean())
+                wb["train/lp_beta_max_abs"] = float(babs.max())
+            if improved:
+                wb["val/best_auroc"] = stopper.best
+            log.metrics(wb, epoch)
 
             if cfg.eval_train_batches > 0:
-                _, _, table = run_eval(state.params, state.batch_stats,
-                                       "train", beta,
-                                       limit=cfg.eval_train_batches)
+                tr, tr_metric, table = run_eval(state.params,
+                                                state.batch_stats,
+                                                "train", beta,
+                                                limit=cfg.eval_train_batches)
                 log.info("train-subset gap table:\n" + table)
+                # train-vs-val overfit telemetry (trainer.py:626-647)
+                wb_t = {"train_eval/auroc": tr_metric,
+                        "train_eval/epoch": epoch,
+                        "train_eval/main_gap_over_val":
+                            tr_metric - val_metric}
+                if isinstance(tr, dict):
+                    if "main_auprc" in tr:
+                        wb_t["train_eval/auprc"] = tr["main_auprc"]
+                    for r in tr.get("per_label", []):
+                        nm = r["name"]
+                        for key in _WB_PER_LABEL_KEYS:
+                            if key in r:
+                                wb_t[f"train_eval/{nm}/{key}"] = r[key]
+                log.metrics(wb_t, epoch)
             # in-loop read-only gradient diagnostics (trainer.py:684-705)
             if grad_diag_every > 0 and (epoch + 1) % grad_diag_every == 0:
                 from ..analysis.grad_flow_diagnostics import (format_report,
@@ -324,15 +419,37 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                 break
 
         elapsed = time.time() - t_start
-        tracker.ensure_saved(state.params, state.batch_stats,
-                             int(state.step), cfg_dict)
-        best_metric, best_path = tracker.best
-        ckpt = load_checkpoint(best_path)
-        beta = (np.asarray(ckpt["params"]["perceiver"]["beta"])
+        if multi:
+            if mh.is_main_process():
+                tracker.ensure_saved(state.params, state.batch_stats,
+                                     int(state.step), cfg_dict)
+                best_metric, best_path = tracker.best
+            else:
+                best_metric, best_path = stopper.best or float("nan"), ""
+            if best_vars is None:
+                best_vars = jax.tree.map(
+                    mh.fetch_global, (state.params, state.batch_stats))
+            best_params, best_stats = best_vars
+        else:
+            tracker.ensure_saved(state.params, state.batch_stats,
+                                 int(state.step), cfg_dict)
+            best_metric, best_path = tracker.best
+            ckpt = load_checkpoint(best_path)
+            best_params, best_stats = ckpt["params"], ckpt["batch_stats"]
+        beta = (np.asarray(best_params["perceiver"]["beta"])
                 if uses_dual else None)
-        test, test_metric, table = run_eval(ckpt["params"],
-                                            ckpt["batch_stats"], "test", beta)
+        test, test_metric, table = run_eval(best_params, best_stats,
+                                            "test", beta)
         log.info(f"test: main AUROC={test_metric:.4f}\n" + table)
+        wb_test = {"test/auroc": test_metric}
+        if isinstance(test, dict):
+            if "main_auprc" in test:
+                wb_test["test/auprc"] = test["main_auprc"]
+            for r in test.get("per_label", []):
+                for key in _WB_PER_LABEL_KEYS:
+                    if key in r:
+                        wb_test[f"test/{r['name']}/{key}"] = r[key]
+        log.metrics(wb_test)
 
     sps = n_steps / max(elapsed, 1e-9)
     test_metrics = {"main_auroc": test_metric}

@@ -10,12 +10,24 @@ import time
 from typing import Optional
 
 
+def _is_main_process() -> bool:
+    """Multi-process runs log from process 0 only (the reference gates wandb
+    on Accelerate's ``is_main_process``, trainer.py:140)."""
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:   # pragma: no cover - jax always importable here
+        return True
+
+
 class Logger:
     def __init__(self, name: str, wandb_project: Optional[str] = None,
                  wandb_run_name: Optional[str] = None, config: Optional[dict] = None):
         self.name = name
         self._t0 = time.time()
         self._wb = None
+        if wandb_project and not _is_main_process():
+            wandb_project = None
         if wandb_project:
             try:
                 import wandb
@@ -27,6 +39,8 @@ class Logger:
                 self._wb = None
 
     def info(self, msg: str):
+        if not _is_main_process():
+            return
         dt = time.time() - self._t0
         print(f"[{self.name} +{dt:7.1f}s] {msg}", flush=True)
 

@@ -1,0 +1,43 @@
+"""Worker process for the 2-process multi-host test (not a pytest module).
+
+Launched twice by ``test_multihost_2proc.py`` with a shared coordinator
+address; each process owns 4 virtual CPU devices of an 8-device global mesh
+and runs the SAME tiny teacher recipe end-to-end through
+``train_teacher`` — per-host batch slices, globally-sharded steps,
+all-gathered eval, main-only checkpointing. Results land in a per-process
+JSON for the parent to compare (across processes AND against the
+single-process run of the identical recipe).
+
+Usage: python mh_worker.py <process_id> <num_processes> <port> <outdir>
+"""
+import json
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                int(sys.argv[3]), sys.argv[4])
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from multimodal_edema_prediction_tpu.parallel.multihost import (
+        initialize_distributed, is_main_process)
+    initialize_distributed(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 4 * nproc
+
+    from mh_recipe import run_recipe
+    result = run_recipe()
+    result["process_id"] = pid
+    result["is_main"] = is_main_process()
+    with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
+        json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()

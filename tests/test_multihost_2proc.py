@@ -1,0 +1,86 @@
+"""Two-process multi-host training equivalence (VERDICT r1 item 7).
+
+Spawns two real OS processes, each owning 4 virtual CPU devices of one
+8-device global mesh (``jax.distributed`` + gloo collectives), and runs the
+full teacher recipe through ``train_teacher``. Asserts:
+
+- both processes finish and agree bit-for-bit on history/metrics (they see
+  the same global arrays), and
+- the multi-host run matches the SAME recipe run single-process on an
+  in-process 8-device mesh — i.e. per-host batch slicing + global array
+  stitching is semantics-preserving.
+
+This is the TPU-pod replacement for the reference's DDP + rank-broadcast
+early stop (training_duett/trainer.py:217-218,707-716).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_teacher_matches_single_process(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = ""      # workers set their own 4-device flag
+    env["JAX_PLATFORMS"] = ""
+    env["PYTHONPATH"] = os.pathsep.join(
+        [HERE, os.path.dirname(HERE), env.get("PYTHONPATH", "")])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "mh_worker.py"),
+             str(pid), "2", str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    results = []
+    for pid in range(2):
+        with open(tmp_path / f"result_{pid}.json") as f:
+            results.append(json.load(f))
+
+    r0, r1 = results
+    assert r0["is_main"] and not r1["is_main"]
+    # both processes computed from the same global arrays → identical runs
+    assert r0["best_metric"] == pytest.approx(r1["best_metric"], abs=1e-12)
+    assert r0["test_auroc"] == pytest.approx(r1["test_auroc"], abs=1e-12)
+    for h0, h1 in zip(r0["history"], r1["history"]):
+        assert h0["train_total"] == pytest.approx(h1["train_total"],
+                                                  rel=1e-6)
+
+    # equivalence vs the identical recipe single-process (8 in-process CPU
+    # devices via conftest). Reduction orders differ (gloo ring vs fused
+    # in-process all-reduce), so allow small float32 drift.
+    sys.path.insert(0, HERE)
+    try:
+        from mh_recipe import run_recipe
+        single = run_recipe()
+    finally:
+        sys.path.remove(HERE)
+    assert single["test_auroc"] == pytest.approx(r0["test_auroc"], abs=5e-3)
+    assert single["best_metric"] == pytest.approx(r0["best_metric"],
+                                                  abs=5e-3)
+    for hs, hm in zip(single["history"], r0["history"]):
+        assert hs["train_total"] == pytest.approx(hm["train_total"],
+                                                  rel=1e-3)
