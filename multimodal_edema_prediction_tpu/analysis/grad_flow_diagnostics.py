@@ -126,6 +126,24 @@ def run_diagnostics(model, params, batch_stats, anchor_ds, image_source,
             else v / max(nb, 1) for k, v in acc.items()} | {"n_batches": nb}
 
 
+def diagnostics_to_log_dict(r: dict, labels=None,
+                            prefix: str = "grad_diag") -> dict:
+    """Flatten a diagnostics report into wandb/TensorBoard scalar keys —
+    including the per-label query-gradient breakdown (the reference's
+    ``gradient_diagnostics_to_log_dict``, grad_flow_diagnostics.py:705-751).
+    """
+    out = {}
+    for k, v in r.items():
+        if isinstance(v, (int, float)):
+            out[f"{prefix}/{k}"] = float(v)
+        elif isinstance(v, (list, tuple)):
+            for i, x in enumerate(v):
+                name = (labels[i].replace("/", "_")
+                        if labels is not None and i < len(labels) else str(i))
+                out[f"{prefix}/label/{name}/{k}"] = float(x)
+    return out
+
+
 def format_report(r: dict) -> str:
     lines = [f"{'branch':<6s} {'|dL/dQ|':>10s} {'|dL/dTS|':>10s} "
              f"{'|dL/dPX|':>10s}"]

@@ -16,6 +16,10 @@ from ..utils.logging import Logger
 def main(argv=None):
     p = argparse.ArgumentParser("PhysioNet-2012 pretrain + finetune (TPU)")
     p.add_argument("--n_patients", type=int, default=400)
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="raw PhysioNet-2012 challenge directory "
+                        "(set-a/... + Outcomes-a.txt); default: synthetic "
+                        "P12-shaped cohort")
     p.add_argument("--n_timesteps", type=int, default=24)
     p.add_argument("--pretrain_epochs", type=int, default=10)
     p.add_argument("--finetune_epochs", type=int, default=10)
@@ -27,7 +31,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     log = Logger("physionet")
-    ds, meta = make_synthetic_physionet(n_patients=args.n_patients)
+    if args.data_dir:
+        from ..data.physionet import load_physionet2012_raw
+        ds, meta = load_physionet2012_raw(args.data_dir)
+        log.info(f"raw P12 cohort: {len(ds.events.stay_ids)} records from "
+                 f"{args.data_dir}")
+    else:
+        ds, meta = make_synthetic_physionet(n_patients=args.n_patients)
     duett = DuettConfig(n_variables=N_TS_VARS,
                         n_timesteps=args.n_timesteps,
                         d_static=N_STATIC,

@@ -1,16 +1,19 @@
 """PhysioNet-2012 mortality dataset (DuETT paper-repro path).
 
 Reference: ``duett/physionet.py`` — a torchtime-backed DataModule with 36
-time-series variables, 8 static features, hourly binning into value+count
-channels, per-dataset caching, fixed split seed. torchtime is not in this
-image, so the real loader is gated; :func:`make_synthetic_physionet`
-generates a structurally identical cohort (36 vars, 48 h windows, static
-block, in-hospital-death label with learnable signal) for tests and smoke
-runs. Downstream consumption reuses the stay-label dataset machinery.
+time-series variables, 8 static features, binning into value+count
+channels, per-dataset caching, fixed split seed. Here the real loader
+(:func:`load_physionet2012_raw`) reads the PUBLISHED challenge layout
+directly (set-a/b/c records + Outcomes files) with no torchtime
+dependency; :func:`make_synthetic_physionet` generates a structurally
+identical cohort (36 vars, 48 h windows, static block, in-hospital-death
+label with learnable signal) for tests and smoke runs. Downstream
+consumption reuses the stay-label dataset machinery either way.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import os
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -84,14 +87,172 @@ def make_synthetic_physionet(seed: int = 0, n_patients: int = 400,
     return ds, meta
 
 
-def load_physionet2012(data_dir: str):  # pragma: no cover - needs torchtime
-    """Real P12 loader (requires torchtime, not in this image)."""
-    try:
-        import torchtime  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "torchtime is not installed in this image; use "
-            "make_synthetic_physionet() or provide converted artifacts"
-        ) from e
-    raise NotImplementedError(
-        "wire torchtime.data.PhysioNet2012 → EventTable here when available")
+# the 36 time-series parameters, in torchtime column order (reference
+# duett/physionet.py:8-46; TroponinI/T are spelled TropI/TropT in the raw
+# challenge files)
+P12_TS_PARAMS = (
+    "Albumin", "ALP", "ALT", "AST", "Bilirubin", "BUN", "Cholesterol",
+    "Creatinine", "DiasABP", "FiO2", "GCS", "Glucose", "HCO3", "HCT", "HR",
+    "K", "Lactate", "Mg", "MAP", "MechVent", "Na", "NIDiasABP", "NIMAP",
+    "NISysABP", "PaCO2", "PaO2", "pH", "Platelets", "RespRate", "SaO2",
+    "SysABP", "Temp", "TropI", "TropT", "Urine", "WBC")
+_P12_TS_INDEX = {p: i for i, p in enumerate(P12_TS_PARAMS)}
+# general descriptors recorded at time 00:00 (reference cols 37-44:
+# Weight + Age + Gender + Height + ICUType one-hot(4) → d_static = 8)
+P12_STATIC_PARAMS = ("Age", "Gender", "Height", "ICUType", "Weight")
+
+
+def _parse_record(path: str, max_hours: int):
+    """One raw set-X/<RecordID>.txt → (record_id, statics, slot rows)."""
+    import csv
+    statics = {}
+    # (slot → [sum, count] per var) accumulated as dicts; records are small
+    sums: dict = {}
+    counts: dict = {}
+    with open(path) as f:
+        reader = csv.reader(f)
+        header = next(reader, None)
+        assert header and header[0] == "Time", f"bad P12 record {path}"
+        rid = None
+        for row in reader:
+            if len(row) != 3:
+                continue
+            t, param, val = row
+            try:
+                v = float(val)
+            except ValueError:
+                continue
+            if param == "RecordID":
+                rid = int(v)
+                continue
+            if param in P12_STATIC_PARAMS:
+                # first non-missing wins (-1 encodes missing in the raw
+                # files); later in-stay Weight rows are treated as TS-like
+                # re-measurements by some pipelines, torchtime keeps the
+                # descriptor — mirror torchtime
+                if v >= 0 and param not in statics:
+                    statics[param] = v
+                continue
+            j = _P12_TS_INDEX.get(param)
+            if j is None or v < 0:
+                continue
+            slot = min(int(t.split(":")[0]), max_hours - 1)   # hour bin
+            if slot not in sums:
+                sums[slot] = np.zeros(len(P12_TS_PARAMS), np.float64)
+                counts[slot] = np.zeros(len(P12_TS_PARAMS), np.int32)
+            sums[slot][j] += v
+            counts[slot][j] += 1
+    return rid, statics, sums, counts
+
+
+def load_physionet2012_raw(data_dir: str, max_hours: int = 48,
+                           sets: Sequence[str] = ("set-a", "set-b", "set-c")
+                           ) -> Tuple[SyntheticDataset, Meta]:
+    """Raw PhysioNet-2012 challenge files → framework cohort + meta.
+
+    Replaces the reference's torchtime dependency (duett/physionet.py:1,
+    ``PhysioNet2012(...)`` downloads + assembles X/y) with a direct reader
+    of the published layout::
+
+        {data_dir}/set-a/132539.txt     # Time,Parameter,Value records
+        {data_dir}/Outcomes-a.txt       # RecordID,...,In-hospital_death
+
+    Observations are hourly-binned per slot (value = within-slot mean,
+    count = observation count — the framework's MIMIC contract); statics
+    become [age_z | gender, ICUType one-hot(4), height_z, weight_z]
+    (d_static = 8, matching reference d_static_num()). Split/meta/stats
+    then flow through the standard ``meta_from_events`` machinery
+    (subject-level seed-42 split, train-split z-scoring).
+    """
+    import glob
+
+    outcomes = {}
+    for suffix in ("a", "b", "c"):
+        p = os.path.join(data_dir, f"Outcomes-{suffix}.txt")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            header = f.readline().strip().split(",")
+            death_col = header.index("In-hospital_death")
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) > death_col:
+                    outcomes[int(parts[0])] = float(parts[death_col])
+
+    record_paths = []
+    for s in sets:
+        record_paths += sorted(glob.glob(os.path.join(data_dir, s, "*.txt")))
+    if not record_paths:
+        raise FileNotFoundError(f"no P12 records under {data_dir}/set-*/")
+
+    V = len(P12_TS_PARAMS)
+    rids, ages, onehots, deaths = [], [], [], []
+    offsets = [0]
+    all_slots, all_vals, all_cnts = [], [], []
+    heights, weights = [], []
+    for path in record_paths:
+        rid, st, sums, counts = _parse_record(path, max_hours)
+        if rid is None:
+            rid = int(os.path.splitext(os.path.basename(path))[0])
+        rids.append(rid)
+        ages.append(st.get("Age", np.nan))
+        icu = np.zeros(4, np.float32)
+        if "ICUType" in st and 1 <= int(st["ICUType"]) <= 4:
+            icu[int(st["ICUType"]) - 1] = 1.0
+        gender = st.get("Gender", np.nan)
+        heights.append(st.get("Height", np.nan))
+        weights.append(st.get("Weight", np.nan))
+        onehots.append(np.concatenate([[0.0 if np.isnan(gender) else gender],
+                                       icu, [0.0, 0.0]]))  # h/w filled below
+        deaths.append(outcomes.get(rid, 0.0))
+        slots = sorted(sums)
+        all_slots.append(np.asarray(slots, np.int32))
+        vals = np.zeros((len(slots), V), np.float32)
+        cnts = np.zeros((len(slots), V), np.int32)
+        for r, s_ in enumerate(slots):
+            c = counts[s_]
+            vals[r] = np.where(c > 0, sums[s_] / np.maximum(c, 1), 0.0)
+            cnts[r] = c
+        all_vals.append(vals)
+        all_cnts.append(cnts)
+        offsets.append(offsets[-1] + len(slots))
+
+    n = len(rids)
+    onehot = np.stack(onehots).astype(np.float32)
+    for col, arr in ((5, np.asarray(heights, np.float64)),
+                     (6, np.asarray(weights, np.float64))):
+        obs = arr[~np.isnan(arr)]
+        mu = obs.mean() if obs.size else 0.0
+        sd = obs.std() if obs.size else 1.0
+        onehot[:, col] = np.nan_to_num((arr - mu) / (sd + 1e-7))
+
+    stay_ids = np.asarray(rids, np.int64)
+    events = EventTable(
+        stay_ids=stay_ids, subject_ids=stay_ids.copy(),
+        stay_len=np.full(n, max_hours, np.int32),
+        offsets=np.asarray(offsets, np.int64),
+        slot_idx=np.concatenate(all_slots) if n else np.zeros(0, np.int32),
+        values=np.concatenate(all_vals) if n else np.zeros((0, V),
+                                                           np.float32),
+        counts=np.concatenate(all_cnts) if n else np.zeros((0, V), np.int32))
+    static = StaticTable(stay_ids=stay_ids, subject_ids=stay_ids.copy(),
+                         age=np.nan_to_num(np.asarray(ages, np.float32)),
+                         onehot=onehot,
+                         death_adm=np.asarray(deaths, np.float32))
+    empty = AnchorTable(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                        np.zeros(0, np.int32), np.zeros(0, np.int64),
+                        np.zeros((0, 1), np.float32))
+    ds = SyntheticDataset(
+        events=events, static=static, anchors=empty, cxr_catalog=empty,
+        var_names=P12_TS_PARAMS,
+        onehot_names=("gender", "icu1", "icu2", "icu3", "icu4",
+                      "height_z", "weight_z"),
+        latent_by_stay=None, label_weights_true=None)
+    meta = meta_from_events(ds, DataConfig(n_timesteps=24),
+                            label_col="death_adm")
+    return ds, meta
+
+
+def load_physionet2012(data_dir: str):
+    """Real P12 loader: direct raw-file reader (torchtime-free)."""
+    return load_physionet2012_raw(data_dir)
