@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--vit_size", type=str, default="base",
                    choices=["tiny", "base"],
                    help="'tiny' for smoke runs without RAD-DINO weights")
+    p.add_argument("--vit_quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8: post-training-quantize the frozen CXR "
+                        "branch's matmuls (2x MXU rate; ops/int8.py)")
     p.add_argument("--vit_weights", type=str, default="",
                    help="converted RAD-DINO checkpoint "
                         "(scripts/convert_rad_dino.py output) loaded into "
@@ -49,12 +53,29 @@ def main(argv=None):
                         "real-image path (native decode in the prefetch "
                         "worker) instead of procedural images")
     p.add_argument("--prefetch_depth", type=int, default=2)
+    p.add_argument("--resume_dir", type=str, default="",
+                   help="existing run directory to continue: restores the "
+                        "full train state saved at the last completed epoch "
+                        "(params, optimizer, RNG, early-stop bookkeeping) "
+                        "and trains on bit-exactly")
+    p.add_argument("--state_backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="full-state checkpoint format; orbax saves async "
+                        "(overlapping the next epoch) — the pod-scale path")
+    p.add_argument("--save_state", action="store_true", default=True,
+                   help="persist the full train state every epoch so the run "
+                        "is resumable with --resume_dir (default on)")
+    p.add_argument("--no_save_state", dest="save_state",
+                   action="store_false")
     args = p.parse_args(argv)
 
     dcfg, duett, tcfg = configs_from_args(args)
-    vit = ViTConfig() if args.vit_size == "base" else ViTConfig(
-        image_size=56, patch_size=14, d_model=64, n_layers=2, n_heads=2,
-        d_feedforward=128)
+    vit = ViTConfig(quant=args.vit_quant) if args.vit_size == "base" \
+        else ViTConfig(image_size=56, patch_size=14, d_model=64, n_layers=2,
+                       n_heads=2, d_feedforward=128, quant=args.vit_quant)
+    if args.vit_quant != "none" and args.unfreeze_cxr:
+        p.error("--vit_quant requires a frozen CXR branch (the quantized "
+                "matmuls are inference-only)")
     teacher_cfg = TeacherConfig(
         duett=duett, vit=vit,
         perceiver=PerceiverConfig(
@@ -65,7 +86,7 @@ def main(argv=None):
         perceiver_type=args.perceiver_type,
         freeze_duett=args.freeze_duett, freeze_cxr=not args.unfreeze_cxr)
 
-    run_dir = make_run_dir(args.ckpt_dir, tcfg)
+    run_dir = args.resume_dir or make_run_dir(args.ckpt_dir, tcfg)
     log = Logger("teacher", args.wandb_project or None,
                  args.wandb_run_name or None, tcfg.to_dict())
     _, meta, anchor_ds = load_data(args, dcfg)
@@ -106,7 +127,9 @@ def main(argv=None):
         pretrained_head_ckpt=args.pretrained_cxr_head_ckpt or None,
         jpeg_store=(JpegStore(root=args.cxr_jpeg_root)
                     if args.cxr_jpeg_root else None),
-        prefetch_depth=args.prefetch_depth)
+        prefetch_depth=args.prefetch_depth,
+        auto_resume=bool(args.resume_dir), save_full_state=args.save_state,
+        state_backend=args.state_backend)
     log.info(f"best val macro fusion AUROC: {res.best_metric:.4f}  "
              f"ckpt: {res.best_path}")
     log.finish()

@@ -162,6 +162,8 @@ class ViTConfig(_ConfigBase):
     layerscale_init: float = 1.0
     dropout: float = 0.0
     use_flash_attention: bool = True   # Pallas flash kernel on TPU
+    quant: str = "none"   # "int8": post-training-quantized matmuls (frozen
+    #                        branch only — 2x MXU rate on v5e; ops/int8.py)
 
     @property
     def n_patches(self) -> int:

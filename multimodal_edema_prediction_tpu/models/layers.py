@@ -210,6 +210,8 @@ class MultiHeadAttention(nn.Module):
     qkv_bias: bool = True
     out_bias: bool = True
     use_flash: bool = False     # Pallas flash kernel for long sequences
+    quant: str = "none"         # "int8": quantized projections (frozen
+    #                              branches only; ops/int8.py)
 
     @nn.compact
     def __call__(self, q_in, kv_in, train: bool = False,
@@ -236,13 +238,19 @@ class MultiHeadAttention(nn.Module):
                     and q_in.ndim == 3 and kv_in.shape[-2] >= 256
                     and dh >= 64)
         if flash_ok:
-            # project straight into [B, H, N, dh] — no transpose copies
-            def proj_bhnk(x, w, b):
-                y = jnp.einsum("bnd,dhk->bhnk", x,
-                               w.reshape(d_model, H, dh).astype(dtype))
-                if b is not None:
-                    y = y + b.reshape(H, 1, dh).astype(dtype)
-                return y
+            if self.quant == "int8":
+                from ..ops.int8 import int8_out_bhnk, int8_proj_bhnk
+                proj_bhnk = lambda x, w, b: int8_proj_bhnk(  # noqa: E731
+                    x, w, None if b is None else b.astype(jnp.float32),
+                    H, dh)
+            else:
+                # project straight into [B,H,N,dh] — no transpose copies
+                def proj_bhnk(x, w, b):
+                    y = jnp.einsum("bnd,dhk->bhnk", x,
+                                   w.reshape(d_model, H, dh).astype(dtype))
+                    if b is not None:
+                        y = y + b.reshape(H, 1, dh).astype(dtype)
+                    return y
 
             q = proj_bhnk(q_in, wq, bq)
             k = proj_bhnk(kv_in, wk, bk)
@@ -250,17 +258,28 @@ class MultiHeadAttention(nn.Module):
             from ..ops.attention import flash_mha
             o = flash_mha(q, k, v, sm_scale=dh ** -0.5,
                           q_valid=valid_len, kv_valid=valid_len)
+            if self.quant == "int8":
+                return int8_out_bhnk(
+                    o, wo.reshape(H, dh, d_model),
+                    None if bo is None else bo.astype(jnp.float32))
             out = jnp.einsum("bhnk,hkd->bnd", o,
                              wo.reshape(H, dh, d_model).astype(dtype))
             if bo is not None:
                 out = out + bo.astype(dtype)
             return out
 
-        def proj(x, w, b):
-            y = x @ w.astype(dtype)
-            if b is not None:
-                y = y + b.astype(dtype)
-            return y.reshape(x.shape[:-1] + (H, dh))
+        if self.quant == "int8":
+            from ..ops.int8 import int8_dense
+
+            def proj(x, w, b):
+                return int8_dense(x, w, b).reshape(
+                    x.shape[:-1] + (H, dh))
+        else:
+            def proj(x, w, b):
+                y = x @ w.astype(dtype)
+                if b is not None:
+                    y = y + b.astype(dtype)
+                return y.reshape(x.shape[:-1] + (H, dh))
 
         q, k, v = proj(q_in, wq, bq), proj(kv_in, wk, bk), proj(kv_in, wv, bv)
         if valid_len is not None and valid_len < k.shape[-3] \
@@ -275,9 +294,13 @@ class MultiHeadAttention(nn.Module):
         dropped = nn.Dropout(self.dropout, deterministic=not train)(weights)
         out = jnp.einsum("...hqk,...khd->...qhd", dropped, v)
         out = out.reshape(out.shape[:-2] + (inner,))
-        out = out @ wo.astype(dtype)
-        if bo is not None:
-            out = out + bo.astype(dtype)
+        if self.quant == "int8":
+            from ..ops.int8 import int8_dense
+            out = int8_dense(out, wo, bo)
+        else:
+            out = out @ wo.astype(dtype)
+            if bo is not None:
+                out = out + bo.astype(dtype)
         if return_weights:
             return out, weights.mean(axis=-3)  # average over heads
         return out

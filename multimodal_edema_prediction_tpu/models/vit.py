@@ -20,7 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..config import ViTConfig
-from .layers import MultiHeadAttention
+from .layers import MultiHeadAttention, _ProjParams
 
 # Image normalization applied by the HF AutoImageProcessor for rad-dino.
 # Override via checkpoint-conversion metadata when converting real weights.
@@ -51,17 +51,31 @@ class DinoBlock(nn.Module):
         h = MultiHeadAttention(cfg.n_heads, cfg.d_model // cfg.n_heads,
                                cfg.dropout, qkv_bias=True,
                                use_flash=cfg.use_flash_attention,
+                               quant=cfg.quant,
                                name="attn")(h, h, train=train,
                                             valid_len=self.valid_len
                                             ).astype(x.dtype)
         ls1 = self.param("layerscale1", ls_init, (cfg.d_model,), jnp.float32)
         x = x + h * ls1.astype(x.dtype)
         h = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm2")(x)
-        h = nn.Dense(cfg.d_feedforward, dtype=x.dtype,
-                     param_dtype=jnp.float32, name="mlp_in")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.d_model, dtype=x.dtype, param_dtype=jnp.float32,
-                     name="mlp_out")(h)
+        if cfg.quant == "int8":
+            # same {kernel,bias} param tree as nn.Dense — checkpoints and
+            # the HF converter are quantization-agnostic; weights quantize
+            # inside the step (constant-folded for the frozen branch)
+            from ..ops.int8 import int8_dense
+            w1, b1 = _ProjParams(cfg.d_feedforward,
+                                 name="mlp_in")(cfg.d_model)
+            h = int8_dense(h, w1, b1)
+            h = nn.gelu(h, approximate=False)
+            w2, b2 = _ProjParams(cfg.d_model,
+                                 name="mlp_out")(cfg.d_feedforward)
+            h = int8_dense(h, w2, b2)
+        else:
+            h = nn.Dense(cfg.d_feedforward, dtype=x.dtype,
+                         param_dtype=jnp.float32, name="mlp_in")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(cfg.d_model, dtype=x.dtype, param_dtype=jnp.float32,
+                         name="mlp_out")(h)
         ls2 = self.param("layerscale2", ls_init, (cfg.d_model,), jnp.float32)
         return x + h * ls2.astype(x.dtype)
 

@@ -123,10 +123,12 @@ def load_train_state(path: str, template_state):
         payload = serialization.msgpack_restore(f.read())
     opt_state = serialization.from_state_dict(template_state.opt_state,
                                               payload["opt_state"])
+    # leaves stay host numpy (uncommitted): the jitted step re-places them
+    # under whatever mesh/sharding the resumed loop runs with
     state = template_state.replace(
-        step=jnp.asarray(payload["step"], jnp.int32),
-        params=jax.tree.map(jnp.asarray, payload["params"]),
-        batch_stats=jax.tree.map(jnp.asarray, payload["batch_stats"]),
+        step=np.asarray(payload["step"], np.int32),
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
         opt_state=opt_state)
     return state, int(payload["epoch"]), payload.get("extra", {})
 

@@ -43,6 +43,11 @@ def restore_state(manager: ocp.CheckpointManager, template_state,
                 "opt_state": template_state.opt_state,
                 "step": template_state.step}
     restored = manager.restore(step, args=ocp.args.StandardRestore(template))
+    # host numpy leaves: orbax commits restored arrays to specific devices;
+    # uncommitted host arrays let the jitted step re-place them on whatever
+    # mesh the caller runs under
+    import numpy as np
+    restored = jax.tree.map(np.asarray, restored)
     return template_state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"], step=restored["step"])

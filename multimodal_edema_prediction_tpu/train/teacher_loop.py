@@ -134,7 +134,23 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                   grad_diag_every: int = 0,
                   grad_diag_batches: int = 4,
                   pretrained_head_ckpt: Optional[str] = None,
-                  jpeg_store=None, prefetch_depth: int = 2) -> TrainResult:
+                  jpeg_store=None, prefetch_depth: int = 2,
+                  auto_resume: bool = False,
+                  save_full_state: Optional[bool] = None,
+                  state_backend: str = "msgpack",
+                  stop_after_epochs: Optional[int] = None) -> TrainResult:
+    """``auto_resume=True`` restores the full train state (params, optimizer,
+    RNG, early-stop bookkeeping) saved at the last completed epoch in
+    ``ckpt_dir`` and continues bit-exactly — the capability the reference
+    lacks entirely ("resume" there = reload best.pt and re-run,
+    trainer.py:718-764). ``save_full_state`` (default: ``auto_resume``)
+    persists that state at every epoch boundary. ``state_backend`` picks the
+    artifact format: ``msgpack`` (single file) or ``orbax`` (sharded, async
+    saves that overlap the next epoch — the pod-scale path).
+    ``stop_after_epochs``: graceful-preemption hook — end THIS invocation
+    after N epochs (the schedule still spans ``cfg.epochs``); a later
+    ``auto_resume=True`` invocation continues where it left off. For
+    chunked/preemptible schedulers and the resume tests."""
     log = logger or Logger("teacher")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
     multi = mh.process_count() > 1
@@ -209,6 +225,43 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
             params, batch_stats)
     else:
         state = TrainState.create(params, batch_stats, tx)
+
+    # ---- full-state resume (epoch-boundary; see docstring) ----------------
+    if state_backend not in ("msgpack", "orbax"):
+        raise ValueError(f"unknown state_backend {state_backend!r}")
+    if save_full_state is None:
+        save_full_state = auto_resume
+    from .checkpoint import load_train_state, save_train_state
+    state_path = os.path.join(ckpt_dir, "train_state.msgpack")
+    meta_path = os.path.join(ckpt_dir, "train_state.meta.json")
+    orbax_mgr = None
+    if state_backend == "orbax" and (save_full_state or auto_resume):
+        from .orbax_io import make_manager
+        orbax_mgr = make_manager(os.path.join(ckpt_dir, "orbax_state"),
+                                 max_to_keep=2)
+    start_epoch, resume_meta = 0, None
+    if auto_resume:
+        import json as _json
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                resume_meta = _json.load(f)
+        if resume_meta is not None:
+            if state_backend == "orbax":
+                from .orbax_io import restore_state
+                restored = restore_state(orbax_mgr, state)
+                if restored is None:
+                    resume_meta = None
+                else:
+                    state = restored
+            elif os.path.exists(state_path):
+                state, _, _ = load_train_state(state_path, state)
+            else:
+                resume_meta = None
+        if resume_meta is not None:
+            start_epoch = int(resume_meta["epoch"]) + 1
+            log.info(f"[resume:{state_backend}] restored epoch "
+                     f"{resume_meta['epoch']} state from {ckpt_dir}; "
+                     f"continuing at epoch {start_epoch}")
 
     mode = teacher_cfg.perceiver_type
     uses_dual = mode in ("dual_patch", "dual")
@@ -290,12 +343,42 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
         cfg_dict = {"model": teacher_cfg.to_dict(), "train": cfg.to_dict(),
                     "pathology_labels": list(pathology_labels)}
         best_vars = None   # multi-process: in-memory best (file is main-only)
+        if resume_meta is not None:
+            stopper.best = resume_meta["stopper_best"]
+            stopper.bad_epochs = int(resume_meta["bad_epochs"])
+            tracker.entries = [(m, p) for m, p in resume_meta["tracker"]
+                               if os.path.exists(p)]
+            history = list(resume_meta["history"])
+            n_steps = int(resume_meta["n_steps"])
+            step_rng = jax.random.wrap_key_data(
+                np.asarray(resume_meta["rng"], np.uint32))
+
+        def _save_full_state(epoch: int):
+            """Persist the epoch-boundary train state + loop bookkeeping so a
+            restart with ``auto_resume=True`` continues bit-exactly."""
+            if not mh.is_main_process():
+                return
+            import json as _json
+            meta = {"epoch": epoch, "stopper_best": stopper.best,
+                    "bad_epochs": stopper.bad_epochs,
+                    "tracker": tracker.entries, "history": history,
+                    "n_steps": n_steps,
+                    "rng": np.asarray(
+                        jax.random.key_data(step_rng)).tolist()}
+            if state_backend == "orbax":
+                from .orbax_io import save_state
+                save_state(orbax_mgr, epoch, state)   # async
+            else:
+                save_train_state(state_path, state, epoch)
+            with open(meta_path + ".tmp", "w") as f:
+                _json.dump(meta, f)
+            os.replace(meta_path + ".tmp", meta_path)
 
         @jax.jit
         def _acc_add(a, b):
             return jax.tree.map(jnp.add, a, b)
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             # accumulate metrics as device scalars; one host sync per epoch
             # (a per-step float() would serialize dispatch behind a host
             # round-trip — costly on remote/tunneled TPU backends)
@@ -405,18 +488,28 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                 log.metrics(wb_t, epoch)
             # in-loop read-only gradient diagnostics (trainer.py:684-705)
             if grad_diag_every > 0 and (epoch + 1) % grad_diag_every == 0:
-                from ..analysis.grad_flow_diagnostics import (format_report,
-                                                              run_diagnostics)
+                from ..analysis.grad_flow_diagnostics import (
+                    diagnostics_to_log_dict, format_report, run_diagnostics)
                 diag = run_diagnostics(model, state.params,
                                        state.batch_stats, dataset,
                                        image_source, "val", cfg.batch_size,
                                        grad_diag_batches)
                 log.info("grad-flow diagnostics:\n" + format_report(diag))
-                log.metrics({f"grad_diag/{k}": v for k, v in diag.items()
-                             if isinstance(v, float)}, epoch)
+                log.metrics(diagnostics_to_log_dict(
+                    diag, labels=list(pathology_labels)), epoch)
+            if save_full_state:
+                _save_full_state(epoch)
             if stopper.should_stop:
                 log.info(f"early stop at epoch {epoch}")
                 break
+            if stop_after_epochs is not None \
+                    and epoch + 1 - start_epoch >= stop_after_epochs:
+                log.info(f"pausing after {stop_after_epochs} epochs this "
+                         f"invocation (graceful preemption; resume with "
+                         f"auto_resume)")
+                break
+        if orbax_mgr is not None:
+            orbax_mgr.wait_until_finished()
 
         elapsed = time.time() - t_start
         if multi:
