@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import PerceiverConfig
-from .layers import MultiHeadAttention
+from .layers import MultiHeadAttention, gelu_exact
 
 
 class PerceiverBlock(nn.Module):
@@ -46,7 +46,7 @@ class PerceiverBlock(nn.Module):
             latents).astype(latents.dtype)
         h = nn.Dense(d * 4, dtype=latents.dtype, param_dtype=jnp.float32,
                      name="ff_in")(h)
-        h = nn.gelu(h, approximate=False)
+        h = gelu_exact(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(d, dtype=latents.dtype, param_dtype=jnp.float32,
                      name="ff_out")(h)
@@ -66,7 +66,7 @@ class _Head(nn.Module):
     def __call__(self, x, train: bool = False):
         h = nn.Dense(self.d_hidden, dtype=x.dtype, param_dtype=jnp.float32,
                      name="in")(x)
-        h = nn.gelu(h, approximate=False)
+        h = gelu_exact(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         out_init = nn.initializers.zeros if self.zero_init_out \
             else nn.initializers.lecun_normal()

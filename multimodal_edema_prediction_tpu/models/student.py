@@ -9,6 +9,7 @@ from flax import linen as nn
 
 from ..config import StudentConfig
 from .duett import DuettEncoder
+from .layers import gelu_exact
 
 
 class StudentModel(nn.Module):
@@ -27,7 +28,7 @@ class StudentModel(nn.Module):
             raise ValueError(f"unknown pool {self.cfg.pool!r}")
         h = nn.Dense(self.cfg.head_hidden, dtype=feat.dtype,
                      param_dtype=jnp.float32, name="head_in")(feat)
-        h = nn.gelu(h, approximate=False)
+        h = gelu_exact(h)
         h = nn.Dropout(self.cfg.head_dropout, deterministic=not train)(h)
         logit = nn.Dense(1, dtype=feat.dtype, param_dtype=jnp.float32,
                          name="head_out")(h)

@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from ..config import TeacherConfig
 from .duett import DuettEncoder
+from .layers import gelu_exact
 from .perceiver import (DualPathologyPerceiver, PathologyPerceiver,
                         PatchDualPathologyPerceiver, TemporalPerceiver,
                         adaptive_avg_pool_tokens)
@@ -110,7 +111,7 @@ class TeacherModel(nn.Module):
                 name="perceiver")(ts_tokens, img_kv_proj, train=train)
             h = nn.Dense(128, dtype=fused.dtype, param_dtype=jnp.float32,
                          name="head_in")(fused)
-            h = nn.gelu(h, approximate=False)
+            h = gelu_exact(h)
             h = nn.Dropout(cfg.perceiver.head_dropout,
                            deterministic=not train)(h)
             main = nn.Dense(1, dtype=fused.dtype, param_dtype=jnp.float32,
@@ -120,7 +121,7 @@ class TeacherModel(nn.Module):
             cxr_summary = img_kv_proj[:, 0]
             a = nn.Dense(128, dtype=fused.dtype, param_dtype=jnp.float32,
                          name="aux_in")(cxr_summary)
-            a = nn.gelu(a, approximate=False)
+            a = gelu_exact(a)
             a = nn.Dropout(cfg.perceiver.head_dropout,
                            deterministic=not train)(a)
             result["aux_logit"] = nn.Dense(

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import gelu_exact
+
 
 def time_since_last_observation(observed: jnp.ndarray) -> jnp.ndarray:
     """[B,T,V] bool → [B,T,V] float: grid steps since the previous
@@ -83,7 +85,7 @@ class LocalTrajectoryEncoder(nn.Module):
 
         h = nn.Dense(d, dtype=x_ts.dtype, param_dtype=jnp.float32,
                      name="input_proj")(local)
-        h = nn.gelu(h, approximate=False)
+        h = gelu_exact(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="input_norm")(
             h).astype(x_ts.dtype)
 

@@ -20,7 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..config import ViTConfig
-from .layers import MultiHeadAttention, _ProjParams
+from .layers import MultiHeadAttention, _ProjParams, gelu_exact
 
 # Image normalization applied by the HF AutoImageProcessor for rad-dino.
 # Override via checkpoint-conversion metadata when converting real weights.
@@ -66,14 +66,14 @@ class DinoBlock(nn.Module):
             w1, b1 = _ProjParams(cfg.d_feedforward,
                                  name="mlp_in")(cfg.d_model)
             h = int8_dense(h, w1, b1)
-            h = nn.gelu(h, approximate=False)
+            h = gelu_exact(h)
             w2, b2 = _ProjParams(cfg.d_model,
                                  name="mlp_out")(cfg.d_feedforward)
             h = int8_dense(h, w2, b2)
         else:
             h = nn.Dense(cfg.d_feedforward, dtype=x.dtype,
                          param_dtype=jnp.float32, name="mlp_in")(h)
-            h = nn.gelu(h, approximate=False)
+            h = gelu_exact(h)
             h = nn.Dense(cfg.d_model, dtype=x.dtype, param_dtype=jnp.float32,
                          name="mlp_out")(h)
         ls2 = self.param("layerscale2", ls_init, (cfg.d_model,), jnp.float32)
