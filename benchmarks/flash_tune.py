@@ -9,8 +9,11 @@ Levers swept:
   5.6% waste) with block sizes that divide it;
 - block_q / block_k / block_b;
 - the splash-attention kernel (newer TPU pallas kernel);
-- the XLA fallback (materializing [B,H,N,N] — memory-infeasible at B=64,
-  measured at smaller B for reference).
+- XLA's native jax.nn.dot_product_attention for reference.
+
+Timing note: inputs are cycled across value-distinct variants per call —
+tunneled TPU backends can short-circuit repeated executions with identical
+arguments, which made same-args loops report physically impossible TF/s.
 
 Usage: python benchmarks/flash_tune.py [B]
 Prints ms/iter per config; the winner goes into ops/attention.py defaults.
@@ -24,110 +27,129 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_inputs(B=64, H=12, N=1370, D=64, dtype=jnp.bfloat16, seed=0):
-    rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.normal(size=(B, H, N, D)) * 0.1, dtype)
-    k = jnp.asarray(rng.normal(size=(B, H, N, D)) * 0.1, dtype)
-    v = jnp.asarray(rng.normal(size=(B, H, N, D)) * 0.1, dtype)
-    return q, k, v
+def make_variants(P, B=64, H=12, N=1370, D=64, dtype=jnp.bfloat16, n=2):
+    """Pre-padded to P tokens (zeros beyond N), matching the model-level
+    pad-once layout."""
+    rng = np.random.default_rng(0)
+    outs = []
+    for _ in range(n):
+        arrs = []
+        for _ in range(3):
+            a = np.zeros((B, H, P, D), np.float32)
+            a[:, :, :N] = rng.normal(size=(B, H, N, D)) * 0.1
+            arrs.append(jnp.asarray(a, dtype))
+        outs.append(tuple(arrs))
+    return outs
 
 
-def timeit(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, variants, iters=40):
+    """Chain ``iters`` kernel applications in ONE jitted fori_loop, feeding
+    the output back as q: real data dependencies defeat both async-dispatch
+    undertiming and any repeated-execution caching in tunneled backends
+    (same-args python loops measured a physically impossible 15 PF/s)."""
+    @jax.jit
+    def chained(q, k, v):
+        return jax.lax.fori_loop(0, iters, lambda i, qq: fn(qq, k, v), q)
+
+    sum_ = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
+    q, k, v = variants[0]
+    float(sum_(chained(q, k, v)))    # compile + warm + REAL host sync
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters * 1000.0
+    out = chained(*variants[1])
+    s = float(sum_(out))             # scalar device→host fetch: cannot be
+    #                                  elided or cached, unlike
+    #                                  block_until_ready under the tunnel
+    dt = (time.time() - t0) / iters * 1000.0
+    assert s == s, "non-finite attention output"
+    return dt
 
 
-def flash_config(pad_to, bq, bk, bb):
+def flash_config(pad_to, bq, bk, bb, n_valid=1370):
+    """Production shape: pad ONCE at the model level (models/vit.py:96-102),
+    every layer's kernel masks the pads via segment ids — so the timed
+    chain runs on pre-padded [B,H,P,D] and only the kernel is measured."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def run(q, k, v):
-        B, H, N, D = q.shape
-        P = pad_to
-        qp = jnp.pad(q, ((0, 0), (0, 0), (0, P - N), (0, 0)))
-        kp = jnp.pad(k, ((0, 0), (0, 0), (0, P - N), (0, 0)))
-        vp = jnp.pad(v, ((0, 0), (0, 0), (0, P - N), (0, 0)))
-        seg = (jnp.arange(P) < N).astype(jnp.int32)[None].repeat(B, 0)
+    def run(qp, kp, vp):
+        B, H, P, D = qp.shape
+        seg = (jnp.arange(P) < n_valid).astype(jnp.int32)[None].repeat(B, 0)
         sizes = BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=bb,
             block_q_major_dkv=bq, block_k_major_dkv=bk,
             block_q_dkv=bq, block_k_dkv=bk,
             block_q_dq=bq, block_k_dq=bk, block_k_major_dq=bk)
-        out = flash_attention(qp, kp, vp,
-                              segment_ids=SegmentIds(q=seg, kv=seg),
-                              causal=False, sm_scale=0.125,
-                              block_sizes=sizes)
-        return out[:, :, :N, :]
+        return flash_attention(qp, kp, vp,
+                               segment_ids=SegmentIds(q=seg, kv=seg),
+                               causal=False, sm_scale=0.125,
+                               block_sizes=sizes)
 
-    return run
+    return run, pad_to
 
 
-def splash_config(bq, bkv):
+def splash_config(pad_to, bq, bkv):
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk, splash_attention_mask as sm)
 
-    @jax.jit
-    def run(q, k, v):
-        B, H, N, D = q.shape
-        mask = sm.FullMask((N, N))
-        mk = sm.MultiHeadMask([mask] * H)
-        kernel = sk.make_splash_mha(
-            mk, head_shards=1, q_seq_shards=1,
-            block_sizes=sk.BlockSizes(block_q=bq, block_kv=bkv,
-                                      block_kv_compute=bkv))
-        fn = jax.vmap(kernel)
-        return fn(q * 0.125, k, v)
+    mask = sm.FullMask((pad_to, pad_to))
+    mk = sm.MultiHeadMask([mask] * 12)
+    kernel = sk.make_splash_mha(
+        mk, head_shards=1, q_seq_shards=1,
+        block_sizes=sk.BlockSizes(block_q=bq, block_kv=bkv,
+                                  block_kv_compute=bkv))
 
-    return run
+    def run(qp, kp, vp):
+        return jax.vmap(kernel)(qp * 0.125, kp, vp)
+
+    return run, pad_to
+
+
+def xla_dpa():
+    def run(q, k, v):
+        # jax.nn.dot_product_attention expects [B, N, H, D]
+        o = jax.nn.dot_product_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), scale=0.125)
+        return o.transpose(0, 2, 1, 3)
+    return run, 1370
 
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    q, k, v = make_inputs(B=B)
     flops = 4 * B * 12 * 1370 * 1370 * 64 / 1e12   # useful TF per call
 
-    configs = [
-        ("flash pad1536 bq512 bk1536 bb2 (r1 prod)", flash_config(1536, 512, 1536, 2)),
-        ("flash pad1536 bq512 bk512 bb2", flash_config(1536, 512, 512, 2)),
-        ("flash pad1536 bq768 bk1536 bb2", flash_config(1536, 768, 1536, 2)),
-        ("flash pad1536 bq512 bk1536 bb4", flash_config(1536, 512, 1536, 4)),
-        ("flash pad1536 bq512 bk1536 bb8", flash_config(1536, 512, 1536, 8)),
-        ("flash pad1536 bq1536 bk1536 bb2", flash_config(1536, 1536, 1536, 2)),
-        ("flash pad1408 bq128 bk1408 bb2", flash_config(1408, 128, 1408, 2)),
-        ("flash pad1408 bq704 bk704 bb2", flash_config(1408, 704, 704, 2)),
-        ("flash pad1408 bq1408 bk1408 bb2", flash_config(1408, 1408, 1408, 2)),
-        ("flash pad1408 bq1408 bk1408 bb4", flash_config(1408, 1408, 1408, 4)),
-        ("flash pad2048 bq2048 bk2048 bb1", flash_config(2048, 2048, 2048, 1)),
-    ]
-    for name, fn in configs:
+    all_configs = {
+        "prod": ("flash pad1536 bq512 bk1536 bb2 (r1 prod)",
+                 lambda: flash_config(1536, 512, 1536, 2)),
+        "f512": ("flash pad1536 bq512 bk512 bb2",
+                 lambda: flash_config(1536, 512, 512, 2)),
+        "fbb4": ("flash pad1536 bq512 bk1536 bb4",
+                 lambda: flash_config(1536, 512, 1536, 4)),
+        "f1536bb1": ("flash pad1536 bq1536 bk1536 bb1",
+                     lambda: flash_config(1536, 1536, 1536, 1)),
+        "p1408q128": ("flash pad1408 bq128 bk1408 bb2",
+                      lambda: flash_config(1408, 128, 1408, 2)),
+        "p1408full": ("flash pad1408 bq1408 bk1408 bb1",
+                      lambda: flash_config(1408, 1408, 1408, 1)),
+        "splash": ("splash pad1536 bq512 bkv1536",
+                   lambda: splash_config(1536, 512, 1536)),
+        "splash768": ("splash pad1536 bq768 bkv768",
+                      lambda: splash_config(1536, 768, 768)),
+        "xla": ("xla dot_product_attention", xla_dpa),
+    }
+    keys = sys.argv[2].split(",") if len(sys.argv) > 2 else \
+        list(all_configs)
+    variant_cache = {}
+    for key in keys:
+        name, make = all_configs[key]
         try:
-            ms = timeit(fn, q, k, v)
+            fn, P = make()
+            if P not in variant_cache:
+                variant_cache[P] = make_variants(P, B=B)
+            ms = timeit(fn, variant_cache[P])
             print(f"{name:<42s} {ms:8.2f} ms   {flops/ms*1000:6.1f} TF/s")
         except Exception as e:
-            print(f"{name:<42s} FAILED: {str(e)[:120]}")
-
-    for bq, bkv in [(512, 1024), (1024, 1024), (2048, 1024), (512, 512),
-                    (1024, 2048)]:
-        name = f"splash bq{bq} bkv{bkv}"
-        try:
-            # splash pads internally? it requires N multiples — pad to 1408
-            N = 1370
-            P = 1408
-            qp = jnp.pad(q, ((0, 0), (0, 0), (0, P - N), (0, 0)))
-            kp = jnp.pad(k, ((0, 0), (0, 0), (0, P - N), (0, 0)))
-            vp = jnp.pad(v, ((0, 0), (0, 0), (0, P - N), (0, 0)))
-            fn = splash_config(min(bq, P), min(bkv, P))
-            ms = timeit(fn, qp, kp, vp)
-            print(f"{name:<42s} {ms:8.2f} ms   {flops/ms*1000:6.1f} TF/s")
-        except Exception as e:
-            print(f"{name:<42s} FAILED: {str(e)[:120]}")
+            print(f"{name:<42s} FAILED: {str(e)[:110]}")
 
 
 if __name__ == "__main__":
