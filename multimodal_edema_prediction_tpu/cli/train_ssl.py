@@ -20,11 +20,20 @@ def main(argv=None):
     p.add_argument("--ssl_warmup", type=int, default=2000)
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--pretrain_masked_steps", type=int, default=1)
+    p.add_argument("--resume_dir", type=str, default="",
+                   help="existing run directory: restore the full train "
+                        "state at the last completed epoch and continue "
+                        "bit-exactly")
+    p.add_argument("--state_backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"])
+    p.add_argument("--save_state", action="store_true", default=True)
+    p.add_argument("--no_save_state", dest="save_state",
+                   action="store_false")
     args = p.parse_args(argv)
 
     dcfg, duett, tcfg = configs_from_args(args)
     duett = duett.replace(pretrain_masked_steps=args.pretrain_masked_steps)
-    run_dir = make_run_dir(args.ckpt_dir, tcfg)
+    run_dir = args.resume_dir or make_run_dir(args.ckpt_dir, tcfg)
     log = Logger("duett_ssl", args.wandb_project or None,
                  args.wandb_run_name or None, tcfg.to_dict())
     ds, meta, _ = load_data(args, dcfg)
@@ -33,7 +42,9 @@ def main(argv=None):
     res = train_ssl(ssl_ds, duett, tcfg, run_dir, lr=args.ssl_lr,
                     weight_decay=args.ssl_weight_decay,
                     warmup_steps=args.ssl_warmup, grad_clip=args.grad_clip,
-                    logger=log)
+                    logger=log, auto_resume=bool(args.resume_dir),
+                    save_full_state=args.save_state,
+                    state_backend=args.state_backend)
     log.info(f"best val_loss: {res.best_metric:.4f}  ckpt: {res.best_path}")
     log.finish()
     return res

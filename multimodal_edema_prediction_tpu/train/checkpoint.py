@@ -133,6 +133,80 @@ def load_train_state(path: str, template_state):
     return state, int(payload["epoch"]), payload.get("extra", {})
 
 
+class FullStateResumer:
+    """Epoch-boundary full-state persistence + restore for training loops.
+
+    Owns the train-state artifact (msgpack single file or orbax async
+    sharded) plus a JSON sidecar carrying the loop bookkeeping (early-stop
+    watermark, best-ckpt tracker entries, history, RNG stream, step count)
+    so a restarted run continues bit-exactly. Shared by the teacher and SSL
+    loops; see ``train_teacher(auto_resume=...)``.
+    """
+
+    def __init__(self, ckpt_dir: str, backend: str = "msgpack",
+                 enabled: bool = True):
+        if backend not in ("msgpack", "orbax"):
+            raise ValueError(f"unknown state_backend {backend!r}")
+        self.ckpt_dir = ckpt_dir
+        self.backend = backend
+        self.state_path = os.path.join(ckpt_dir, "train_state.msgpack")
+        self.meta_path = os.path.join(ckpt_dir, "train_state.meta.json")
+        self._mgr = None
+        if backend == "orbax" and enabled:
+            from .orbax_io import make_manager
+            self._mgr = make_manager(os.path.join(ckpt_dir, "orbax_state"),
+                                     max_to_keep=2)
+
+    def restore(self, state):
+        """→ (state, meta dict) or (state, None) when nothing to resume."""
+        if not os.path.exists(self.meta_path):
+            return state, None
+        with open(self.meta_path) as f:
+            meta = json.load(f)
+        if self.backend == "orbax":
+            from .orbax_io import restore_state
+            restored = restore_state(self._mgr, state)
+            if restored is None:
+                return state, None
+            return restored, meta
+        if not os.path.exists(self.state_path):
+            return state, None
+        state, _, _ = load_train_state(self.state_path, state)
+        return state, meta
+
+    @staticmethod
+    def apply_meta(meta, stopper, tracker):
+        """Restore loop bookkeeping; → (start_epoch, history, n_steps,
+        step_rng)."""
+        stopper.best = meta["stopper_best"]
+        stopper.bad_epochs = int(meta["bad_epochs"])
+        tracker.entries = [(m, p) for m, p in meta["tracker"]
+                           if os.path.exists(p)]
+        rng = jax.random.wrap_key_data(np.asarray(meta["rng"], np.uint32))
+        return int(meta["epoch"]) + 1, list(meta["history"]), \
+            int(meta["n_steps"]), rng
+
+    def save(self, state, epoch: int, stopper, tracker, history,
+             n_steps: int, step_rng):
+        meta = {"epoch": epoch, "stopper_best": stopper.best,
+                "bad_epochs": stopper.bad_epochs,
+                "tracker": tracker.entries, "history": history,
+                "n_steps": n_steps,
+                "rng": np.asarray(jax.random.key_data(step_rng)).tolist()}
+        if self.backend == "orbax":
+            from .orbax_io import save_state
+            save_state(self._mgr, epoch, state)   # async
+        else:
+            save_train_state(self.state_path, state, epoch)
+        with open(self.meta_path + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(self.meta_path + ".tmp", self.meta_path)
+
+    def finish(self):
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+
+
 class BestKTracker:
     """Keep the k best checkpoints by a metric (higher- or lower-is-better)."""
 

@@ -34,7 +34,15 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
               cfg: TrainConfig, ckpt_dir: str, mesh=None,
               lr: float = 3e-4, weight_decay: float = 0.1,
               warmup_steps: int = 2000, grad_clip: float = 1.0,
-              logger: Optional[Logger] = None) -> TrainResult:
+              logger: Optional[Logger] = None,
+              auto_resume: bool = False,
+              save_full_state: Optional[bool] = None,
+              state_backend: str = "msgpack",
+              stop_after_epochs: Optional[int] = None) -> TrainResult:
+    """Resume semantics identical to ``train_teacher``: epoch-boundary
+    full-state saves + bit-exact ``auto_resume`` restore (the SSL pretrain
+    is the longest job of the pipeline — 300 epochs in the reference's
+    PhysioNet recipe, duett/train.py:74-100)."""
     log = logger or Logger("duett_ssl")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
     multi = mh.process_count() > 1
@@ -74,6 +82,15 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
     else:
         state = TrainState.create(params, batch_stats, tx)
 
+    if save_full_state is None:
+        save_full_state = auto_resume
+    from .checkpoint import FullStateResumer
+    resumer = FullStateResumer(ckpt_dir, state_backend,
+                               enabled=save_full_state or auto_resume)
+    start_epoch, resume_meta = 0, None
+    if auto_resume:
+        state, resume_meta = resumer.restore(state)
+
     with mesh:
         train_step = engine.make_ssl_step(model, duett_cfg, T, dtype)
         eval_step = engine.make_ssl_eval(model, duett_cfg, T, dtype)
@@ -87,13 +104,18 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
         step_rng = jax.random.key(cfg.seed + 1)
         t0, n_steps = time.time(), 0
         cfg_dict = {"duett": duett_cfg.to_dict(), "train": cfg.to_dict()}
+        if resume_meta is not None:
+            start_epoch, history, n_steps, step_rng = \
+                resumer.apply_meta(resume_meta, stopper, tracker)
+            log.info(f"[resume:{state_backend}] continuing at epoch "
+                     f"{start_epoch}")
 
         # persist the meta contract next to the checkpoints
         if mh.is_main_process():
             dataset.meta.save(os.path.join(ckpt_dir, "meta_with_stats.pkl"))
 
         add = jax.jit(jnp.add)
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             loss_sum, nb = None, 0
             for batch in dataset.iter_batches(
                     "train", cfg.batch_size, shuffle=True,
@@ -115,9 +137,13 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
 
             # validation loss with deterministic per-batch masking rng;
             # cap the eval batch size so small val splits still produce
-            # at least one full fixed-shape batch
+            # at least one full fixed-shape batch — rounded DOWN to a
+            # multiple of the data mesh axis (an indivisible batch cannot
+            # shard)
+            n_data = int(mesh.shape.get("data", 1))
             val_bs = min(cfg.batch_size,
                          max(dataset.split_size("val"), 1))
+            val_bs = max((val_bs // n_data) * n_data, n_data)
             val_losses = []
             for i, batch in enumerate(dataset.iter_batches(
                     "val", val_bs, shuffle=False,
@@ -138,8 +164,17 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
                             "val_loss": val_loss})
             log.info(f"epoch {epoch:3d}  train={train_loss:.4f}  "
                      f"val={val_loss:.4f}{'  *' if improved else ''}")
+            if save_full_state and mh.is_main_process():
+                resumer.save(state, epoch, stopper, tracker, history,
+                             n_steps, step_rng)
             if stopper.should_stop:
                 break
+            if stop_after_epochs is not None \
+                    and epoch + 1 - start_epoch >= stop_after_epochs:
+                log.info(f"pausing after {stop_after_epochs} epochs "
+                         f"(graceful preemption)")
+                break
+        resumer.finish()
 
         elapsed = time.time() - t0
         if mh.is_main_process():

@@ -227,36 +227,14 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
         state = TrainState.create(params, batch_stats, tx)
 
     # ---- full-state resume (epoch-boundary; see docstring) ----------------
-    if state_backend not in ("msgpack", "orbax"):
-        raise ValueError(f"unknown state_backend {state_backend!r}")
     if save_full_state is None:
         save_full_state = auto_resume
-    from .checkpoint import load_train_state, save_train_state
-    state_path = os.path.join(ckpt_dir, "train_state.msgpack")
-    meta_path = os.path.join(ckpt_dir, "train_state.meta.json")
-    orbax_mgr = None
-    if state_backend == "orbax" and (save_full_state or auto_resume):
-        from .orbax_io import make_manager
-        orbax_mgr = make_manager(os.path.join(ckpt_dir, "orbax_state"),
-                                 max_to_keep=2)
+    from .checkpoint import FullStateResumer
+    resumer = FullStateResumer(ckpt_dir, state_backend,
+                               enabled=save_full_state or auto_resume)
     start_epoch, resume_meta = 0, None
     if auto_resume:
-        import json as _json
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                resume_meta = _json.load(f)
-        if resume_meta is not None:
-            if state_backend == "orbax":
-                from .orbax_io import restore_state
-                restored = restore_state(orbax_mgr, state)
-                if restored is None:
-                    resume_meta = None
-                else:
-                    state = restored
-            elif os.path.exists(state_path):
-                state, _, _ = load_train_state(state_path, state)
-            else:
-                resume_meta = None
+        state, resume_meta = resumer.restore(state)
         if resume_meta is not None:
             start_epoch = int(resume_meta["epoch"]) + 1
             log.info(f"[resume:{state_backend}] restored epoch "
@@ -344,35 +322,8 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                     "pathology_labels": list(pathology_labels)}
         best_vars = None   # multi-process: in-memory best (file is main-only)
         if resume_meta is not None:
-            stopper.best = resume_meta["stopper_best"]
-            stopper.bad_epochs = int(resume_meta["bad_epochs"])
-            tracker.entries = [(m, p) for m, p in resume_meta["tracker"]
-                               if os.path.exists(p)]
-            history = list(resume_meta["history"])
-            n_steps = int(resume_meta["n_steps"])
-            step_rng = jax.random.wrap_key_data(
-                np.asarray(resume_meta["rng"], np.uint32))
-
-        def _save_full_state(epoch: int):
-            """Persist the epoch-boundary train state + loop bookkeeping so a
-            restart with ``auto_resume=True`` continues bit-exactly."""
-            if not mh.is_main_process():
-                return
-            import json as _json
-            meta = {"epoch": epoch, "stopper_best": stopper.best,
-                    "bad_epochs": stopper.bad_epochs,
-                    "tracker": tracker.entries, "history": history,
-                    "n_steps": n_steps,
-                    "rng": np.asarray(
-                        jax.random.key_data(step_rng)).tolist()}
-            if state_backend == "orbax":
-                from .orbax_io import save_state
-                save_state(orbax_mgr, epoch, state)   # async
-            else:
-                save_train_state(state_path, state, epoch)
-            with open(meta_path + ".tmp", "w") as f:
-                _json.dump(meta, f)
-            os.replace(meta_path + ".tmp", meta_path)
+            start_epoch, history, n_steps, step_rng = \
+                resumer.apply_meta(resume_meta, stopper, tracker)
 
         @jax.jit
         def _acc_add(a, b):
@@ -497,8 +448,9 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                 log.info("grad-flow diagnostics:\n" + format_report(diag))
                 log.metrics(diagnostics_to_log_dict(
                     diag, labels=list(pathology_labels)), epoch)
-            if save_full_state:
-                _save_full_state(epoch)
+            if save_full_state and mh.is_main_process():
+                resumer.save(state, epoch, stopper, tracker, history,
+                             n_steps, step_rng)
             if stopper.should_stop:
                 log.info(f"early stop at epoch {epoch}")
                 break
@@ -508,8 +460,7 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                          f"invocation (graceful preemption; resume with "
                          f"auto_resume)")
                 break
-        if orbax_mgr is not None:
-            orbax_mgr.wait_until_finished()
+        resumer.finish()
 
         elapsed = time.time() - t_start
         if multi:

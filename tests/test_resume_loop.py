@@ -70,6 +70,35 @@ def test_resume_is_bit_exact_vs_uninterrupted(anchor_data, tmp_path):
 
 
 @pytest.mark.slow
+def test_ssl_resume_bit_exact(tmp_path):
+    from multimodal_edema_prediction_tpu.config import DuettConfig
+    from multimodal_edema_prediction_tpu.data.sliding import \
+        build_sliding_ssl_dataset
+    from multimodal_edema_prediction_tpu.train.ssl_loop import train_ssl
+    ds = S.make_synthetic(seed=0, n_subjects=50, n_stays=120, n_variables=6,
+                          min_len=26, max_len=48)
+    meta = P.meta_from_events(ds, DataConfig())
+    ssl_ds = build_sliding_ssl_dataset(ds, meta, n_timesteps=24, stride=12)
+    duett = DuettConfig(n_variables=6, n_timesteps=24, d_static=18,
+                        d_embedding=8, n_layers=1, d_feedforward=32,
+                        d_hidden_mlp_embedding=16, d_hidden_tab_encoder=16,
+                        pretrain_masked_steps=2)
+    cfg = TrainConfig(batch_size=32, epochs=4, patience=10, dtype="float32",
+                      seed=0, limit_batches=2)
+    d = str(tmp_path / "ssl")
+    r1 = train_ssl(ssl_ds, duett, cfg, d, lr=1e-3, warmup_steps=5,
+                   save_full_state=True, stop_after_epochs=2)
+    assert len(r1.history) == 2
+    r2 = train_ssl(ssl_ds, duett, cfg, d, lr=1e-3, warmup_steps=5,
+                   auto_resume=True)
+    assert len(r2.history) == 4
+    r3 = train_ssl(ssl_ds, duett, cfg, str(tmp_path / "ctl"), lr=1e-3,
+                   warmup_steps=5)
+    _assert_histories_equal(r2.history, r3.history)
+    assert r2.best_metric == pytest.approx(r3.best_metric, abs=1e-6)
+
+
+@pytest.mark.slow
 def test_resume_orbax_backend(anchor_data, tmp_path):
     labels = DataConfig().pathology_labels
     d = str(tmp_path / "orbax_run")
