@@ -20,6 +20,15 @@ def main(argv=None):
     p.add_argument("--kd_alpha", type=float, default=0.5)
     p.add_argument("--duett_ckpt", type=str, default="",
                    help="SSL checkpoint for the student backbone")
+    p.add_argument("--resume_dir", type=str, default="",
+                   help="existing run directory: restore the full train "
+                        "state at the last completed epoch and continue "
+                        "bit-exactly")
+    p.add_argument("--state_backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"])
+    p.add_argument("--save_state", action="store_true", default=True)
+    p.add_argument("--no_save_state", dest="save_state",
+                   action="store_false")
     args = p.parse_args(argv)
 
     dcfg, duett, tcfg = configs_from_args(args)
@@ -27,13 +36,16 @@ def main(argv=None):
     student_cfg = StudentConfig(duett=duett, pool=args.student_pool,
                                 head_hidden=args.head_hidden,
                                 head_dropout=args.head_dropout)
-    run_dir = make_run_dir(args.ckpt_dir, tcfg)
+    run_dir = args.resume_dir or make_run_dir(args.ckpt_dir, tcfg)
     log = Logger("student", args.wandb_project or None,
                  args.wandb_run_name or None, tcfg.to_dict())
     _, meta, anchor_ds = load_data(args, dcfg)
     res = train_student_kd(anchor_ds, student_cfg, args.teacher_ckpt, tcfg,
                            run_dir, logger=log,
-                           ssl_backbone_ckpt=args.duett_ckpt or None)
+                           ssl_backbone_ckpt=args.duett_ckpt or None,
+                           auto_resume=bool(args.resume_dir),
+                           save_full_state=args.save_state,
+                           state_backend=args.state_backend)
     log.info(f"best val AUROC: {res.best_metric:.4f}  ckpt: {res.best_path}")
     log.finish()
     return res

@@ -46,7 +46,13 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                      teacher_ckpt: str, cfg: TrainConfig, ckpt_dir: str,
                      mesh=None, image_source: Optional[Callable] = None,
                      logger: Optional[Logger] = None,
-                     ssl_backbone_ckpt: Optional[str] = None) -> TrainResult:
+                     ssl_backbone_ckpt: Optional[str] = None,
+                     auto_resume: bool = False,
+                     save_full_state: Optional[bool] = None,
+                     state_backend: str = "msgpack",
+                     stop_after_epochs: Optional[int] = None) -> TrainResult:
+    """Resume semantics identical to ``train_teacher`` (FullStateResumer:
+    bit-exact epoch-boundary restore)."""
     log = logger or Logger("student_kd")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
     multi = mh.process_count() > 1
@@ -92,6 +98,15 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
     else:
         state = TrainState.create(params, batch_stats, tx)
 
+    if save_full_state is None:
+        save_full_state = auto_resume
+    from .checkpoint import FullStateResumer
+    resumer = FullStateResumer(ckpt_dir, state_backend,
+                               enabled=save_full_state or auto_resume)
+    start_epoch, resume_meta = 0, None
+    if auto_resume:
+        state, resume_meta = resumer.restore(state)
+
     with mesh:
         kd_step = engine.make_kd_step(student, teacher_model, cfg,
                                       student_cfg.duett, T, dtype,
@@ -115,12 +130,17 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
 
         keys = ("total", "bce", "kd")
         best_vars = None
+        if resume_meta is not None:
+            start_epoch, history, n_steps, step_rng = \
+                resumer.apply_meta(resume_meta, stopper, tracker)
+            log.info(f"[resume:{state_backend}] continuing at epoch "
+                     f"{start_epoch}")
 
         @jax.jit
         def _acc_add(a, b):
             return jax.tree.map(jnp.add, a, b)
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             acc = None
             nb = 0
             for batch in dataset.iter_batches(
@@ -158,8 +178,17 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                      f"kd={run['kd']/max(nb,1):.3f})  "
                      f"val_auroc={val['auroc']:.4f}"
                      f"{'  *' if improved else ''}")
+            if save_full_state and mh.is_main_process():
+                resumer.save(state, epoch, stopper, tracker, history,
+                             n_steps, step_rng)
             if stopper.should_stop:
                 break
+            if stop_after_epochs is not None \
+                    and epoch + 1 - start_epoch >= stop_after_epochs:
+                log.info(f"pausing after {stop_after_epochs} epochs "
+                         f"(graceful preemption)")
+                break
+        resumer.finish()
 
         elapsed = time.time() - t0
         if multi:

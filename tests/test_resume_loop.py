@@ -99,6 +99,27 @@ def test_ssl_resume_bit_exact(tmp_path):
 
 
 @pytest.mark.slow
+def test_kd_resume_bit_exact(anchor_data, tmp_path):
+    from multimodal_edema_prediction_tpu.config import StudentConfig
+    from multimodal_edema_prediction_tpu.train.kd_loop import train_student_kd
+    labels = DataConfig().pathology_labels
+    t_res = train_teacher(anchor_data, TINY, _cfg(1),
+                          str(tmp_path / "teacher"), labels)
+    scfg = StudentConfig(duett=TINY.duett)
+    d = str(tmp_path / "kd")
+    r1 = train_student_kd(anchor_data, scfg, t_res.best_path, _cfg(4), d,
+                          save_full_state=True, stop_after_epochs=2)
+    assert len(r1.history) == 2
+    r2 = train_student_kd(anchor_data, scfg, t_res.best_path, _cfg(4), d,
+                          auto_resume=True)
+    assert len(r2.history) == 4
+    r3 = train_student_kd(anchor_data, scfg, t_res.best_path, _cfg(4),
+                          str(tmp_path / "ctl"))
+    _assert_histories_equal(r2.history, r3.history)
+    assert r2.best_metric == pytest.approx(r3.best_metric, abs=1e-6)
+
+
+@pytest.mark.slow
 def test_resume_orbax_backend(anchor_data, tmp_path):
     labels = DataConfig().pathology_labels
     d = str(tmp_path / "orbax_run")
