@@ -267,6 +267,66 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
             "host_threads": n_host_threads}
 
 
+def measure_teacher_inference(batch_size: int = 64, n_steps: int = 10,
+                              warmup: int = 3,
+                              image_bank_size: int = 32) -> dict:
+    """Serving path: forward-only jitted eval step (no bwd, no optimizer) —
+    the deployment-relevant throughput next to the training headline."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_edema_prediction_tpu.config import TeacherConfig
+    from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
+    from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
+    from multimodal_edema_prediction_tpu.train import engine
+    from multimodal_edema_prediction_tpu.train.teacher_loop import (
+        init_teacher, make_bank_image_source)
+
+    n_chips = len(jax.devices())
+    mesh = meshlib.create_mesh(n_chips, 1)
+    cfg = TeacherConfig()
+    T, V, D = cfg.duett.n_timesteps, cfg.duett.n_variables, cfg.duett.d_static
+    K = cfg.perceiver.n_pathologies
+    model = TeacherModel(cfg)
+    variables = init_teacher(model, cfg, batch_size, T, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    n_stays, L = 64, 48
+    with mesh:
+        rep = meshlib.replicated(mesh)
+        params = meshlib.shard_params(variables["params"], mesh)
+        stats = variables["batch_stats"]
+        S = cfg.vit.image_size
+        bank = jax.device_put(
+            rng.random((image_bank_size, S, S, 3), np.float32
+                       ).astype(jnp.bfloat16), rep)
+        eval_step = engine.make_teacher_eval(
+            model, T, jnp.bfloat16, make_bank_image_source(bank))
+        grid = jax.device_put(
+            rng.normal(size=(n_stays, L, 2 * V)).astype(np.float32), rep)
+        static = jax.device_put(
+            rng.normal(size=(n_stays, D)).astype(np.float32), rep)
+        batch = meshlib.shard_batch({
+            "stay_rows": rng.integers(0, n_stays, batch_size).astype(np.int32),
+            "slot_idx": np.full(batch_size, T, np.int32),
+            "image_ids": np.arange(batch_size, dtype=np.int32),
+            "y_multi": rng.integers(0, 2, (batch_size, K)).astype(np.float32),
+            "y_multi_mask": np.ones((batch_size, K), np.float32),
+            "bin_ends": np.broadcast_to(
+                (np.arange(1, T + 1) / 24.0).astype(np.float32),
+                (batch_size, T)).copy(),
+        }, mesh)
+        for _ in range(warmup):
+            out = eval_step(params, stats, grid, static, batch)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(n_steps):
+            out = eval_step(params, stats, grid, static, batch)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+    sps = batch_size * n_steps / dt
+    return {"samples_per_sec_per_chip": sps / n_chips,
+            "batch_size": batch_size}
+
+
 def measure_ssl_throughput(batch_size: int = 512, n_steps: int = 10,
                            warmup: int = 3) -> float:
     """DuETT SSL pretrain step samples/sec (full dims, no images)."""
@@ -370,6 +430,10 @@ def main():
         e2e_jpeg = measure_e2e_image_pipeline("jpeg", n_steps=6)
     except Exception as e:   # keep the headline even if the host path trips
         e2e_u8 = e2e_jpeg = {"error": str(e)}
+    try:
+        infer = measure_teacher_inference()
+    except Exception as e:
+        infer = {"error": str(e)}
     ssl_sps = measure_ssl_throughput()
     rows_per_sec = measure_preprocess_rows_per_sec()
     baseline = get_torch_baseline()
@@ -397,6 +461,7 @@ def main():
             "flops_per_sample": fps,
             "e2e_u8cache": e2e_u8,
             "e2e_jpeg_decode_per_step": e2e_jpeg,
+            "teacher_inference": infer,
             "ssl_pretrain_samples_per_sec": round(ssl_sps, 1),
             "preprocess_rows_per_sec": round(rows_per_sec, 1),
             "jpeg_decode_imgs_per_sec_per_core":
