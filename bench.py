@@ -154,7 +154,12 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
     mode="u8cache": decode-once uint8 cache (images.DecodedU8Cache) — per
                    step the host only slices cached bytes; normalization
                    fuses into the step on device. Cache is pre-filled so the
-                   number reflects steady state (epoch ≥ 2).
+                   number reflects steady state (epoch ≥ 2);
+    mode="hbm":    decode-once DEVICE-resident uint8 bank
+                   (images.HBMImageBank) — zero per-step host image work or
+                   H2D image transfer; the step gathers bank rows and fuses
+                   normalization. The production default whenever the image
+                   set fits the HBM budget.
 
     Returns sustained samples/s/chip plus the host-CPU busy fraction over
     the timed window.
@@ -168,7 +173,8 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
     from multimodal_edema_prediction_tpu.config import (TeacherConfig,
                                                         TrainConfig)
     from multimodal_edema_prediction_tpu.data.images import (
-        DecodedU8Cache, JpegStore, make_jpeg_host_fn, make_u8_cache_host_fn)
+        DecodedU8Cache, HBMImageBank, JpegStore, make_jpeg_host_fn,
+        make_u8_cache_host_fn)
     from multimodal_edema_prediction_tpu.data.prefetch import prefetch
     from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
     from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
@@ -201,12 +207,17 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
         blobs[i] = buf.getvalue()
     store = JpegStore(blobs=blobs)
     n_host_threads = os.cpu_count() or 1
+    bank = None
     if mode == "jpeg":
         host_fn = make_jpeg_host_fn(store, S, n_threads=n_host_threads)
     elif mode == "u8cache":
         cache = DecodedU8Cache(store, S, n_threads=n_host_threads)
         cache.get_batch(np.arange(n_images))      # steady state: pre-filled
         host_fn = make_u8_cache_host_fn(cache)
+    elif mode == "hbm":
+        bank = HBMImageBank(store, np.arange(n_images), S,
+                            n_threads=n_host_threads)
+        host_fn = bank.host_fn()
     else:
         raise ValueError(mode)
 
@@ -239,7 +250,9 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
         state = TrainState.create(params, variables["batch_stats"], tx)
         step = engine.make_teacher_step(
             model, tcfg, cfg.duett, T, np.ones(K, np.float32),
-            dtype=jnp.bfloat16, image_source=engine.default_image_source)
+            dtype=jnp.bfloat16,
+            image_source=(bank.image_source() if bank is not None
+                          else engine.default_image_source))
         grid = jax.device_put(
             rng.normal(size=(n_stays, L, 2 * V)).astype(np.float32), rep)
         static = jax.device_put(
@@ -426,10 +439,11 @@ def main():
     best = max((result, result128),
                key=lambda r: r["samples_per_sec_per_chip"])
     try:
+        e2e_hbm = measure_e2e_image_pipeline("hbm")
         e2e_u8 = measure_e2e_image_pipeline("u8cache")
         e2e_jpeg = measure_e2e_image_pipeline("jpeg", n_steps=6)
     except Exception as e:   # keep the headline even if the host path trips
-        e2e_u8 = e2e_jpeg = {"error": str(e)}
+        e2e_hbm = e2e_u8 = e2e_jpeg = {"error": str(e)}
     try:
         infer = measure_teacher_inference()
     except Exception as e:
@@ -459,6 +473,7 @@ def main():
                 round(result128["samples_per_sec_per_chip"], 3),
             "mfu": round(best["mfu"], 4),
             "flops_per_sample": fps,
+            "e2e_hbm_bank": e2e_hbm,
             "e2e_u8cache": e2e_u8,
             "e2e_jpeg_decode_per_step": e2e_jpeg,
             "teacher_inference": infer,

@@ -53,6 +53,13 @@ def main(argv=None):
                         "real-image path (native decode in the prefetch "
                         "worker) instead of procedural images")
     p.add_argument("--prefetch_depth", type=int, default=2)
+    p.add_argument("--image_bank", type=str, default="auto",
+                   choices=["auto", "hbm", "stream"],
+                   help="real-image feeding: 'hbm' decodes every image once "
+                        "into a device-resident uint8 bank (zero per-step "
+                        "host image work), 'stream' decodes per step on the "
+                        "host, 'auto' picks by the HBM budget")
+    p.add_argument("--hbm_image_budget_gb", type=float, default=8.0)
     p.add_argument("--resume_dir", type=str, default="",
                    help="existing run directory to continue: restores the "
                         "full train state saved at the last completed epoch "
@@ -128,6 +135,8 @@ def main(argv=None):
         jpeg_store=(JpegStore(root=args.cxr_jpeg_root)
                     if args.cxr_jpeg_root else None),
         prefetch_depth=args.prefetch_depth,
+        image_bank=args.image_bank,
+        hbm_image_budget_gb=args.hbm_image_budget_gb,
         auto_resume=bool(args.resume_dir), save_full_state=args.save_state,
         state_backend=args.state_backend)
     log.info(f"best val macro fusion AUROC: {res.best_metric:.4f}  "

@@ -135,6 +135,8 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                   grad_diag_batches: int = 4,
                   pretrained_head_ckpt: Optional[str] = None,
                   jpeg_store=None, prefetch_depth: int = 2,
+                  image_bank: str = "auto",
+                  hbm_image_budget_gb: float = 8.0,
                   auto_resume: bool = False,
                   save_full_state: Optional[bool] = None,
                   state_backend: str = "msgpack",
@@ -176,13 +178,40 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
     K = len(pathology_labels)
     lw = np.ones(K, np.float32)   # uniform per-pathology (trainer.py:390-391)
     if jpeg_store is not None:
-        # real-image path: decode on host (native libjpeg) via the dataset's
-        # batch hook — trainers, evaluators and analysis all see
-        # pixel_values; the jitted step consumes them directly.
-        from ..data.images import make_jpeg_host_fn
-        dataset.batch_hook = make_jpeg_host_fn(jpeg_store,
-                                               teacher_cfg.vit.image_size)
-        image_source = engine.default_image_source
+        # real-image path. Preferred: decode every image ONCE into a
+        # device-resident uint8 bank (zero per-step host image work or
+        # H2D image bytes; normalization fuses into the step). Falls back
+        # to per-step host decode via the dataset's batch hook when the
+        # bank exceeds the HBM budget or under multi-process runs (the
+        # bank would need per-host sharding — streaming keeps it simple).
+        if image_bank not in ("auto", "hbm", "stream"):
+            raise ValueError(f"unknown image_bank mode {image_bank!r}")
+        from ..data.images import HBMImageBank, make_jpeg_host_fn
+        S = teacher_cfg.vit.image_size
+        all_ids = np.unique(dataset.anchor["image_ids"])
+        bank_bytes = HBMImageBank.nbytes(len(all_ids), S)
+        if image_bank == "auto":
+            use_bank = (not multi
+                        and bank_bytes <= hbm_image_budget_gb * 2 ** 30)
+        else:
+            use_bank = image_bank == "hbm"
+        if use_bank:
+            bank = HBMImageBank(
+                jpeg_store, all_ids, S,
+                device_put=lambda a: jax.device_put(
+                    a, meshlib.replicated(mesh)))
+            dataset.batch_hook = bank.host_fn()
+            image_source = bank.image_source()
+            log.info(f"[images] HBM-resident u8 bank: {len(all_ids)} images"
+                     f" ({bank_bytes / 2**30:.2f} GiB) — per-step host "
+                     f"image work eliminated")
+        else:
+            dataset.batch_hook = make_jpeg_host_fn(jpeg_store, S)
+            image_source = engine.default_image_source
+            log.info(f"[images] streaming host decode "
+                     f"({bank_bytes / 2**30:.2f} GiB exceeds the "
+                     f"{hbm_image_budget_gb} GiB bank budget or "
+                     f"multi-process)")
     else:
         image_source = image_source or make_synthetic_image_source(
             teacher_cfg.vit.image_size)

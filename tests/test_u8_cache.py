@@ -68,6 +68,32 @@ def test_host_fn_and_device_normalization_match_f32_path():
     np.testing.assert_allclose(via_u8, via_f32, atol=0.6 / 255 / 0.25)
 
 
+def test_hbm_bank_rows_and_normalization_parity():
+    """HBMImageBank: id→row mapping, missing-id error, and gather+normalize
+    matching the f32 host-decode path within u8 rounding."""
+    import jax.numpy as jnp
+    from multimodal_edema_prediction_tpu.data.images import (HBMImageBank,
+                                                             decode_batch)
+    base = _store(n=6, side=48)
+    ids = [100, 205, 310, 415, 520, 625]        # non-contiguous image ids
+    store = JpegStore(blobs={ids[i]: base.get(i) for i in range(6)})
+    bank = HBMImageBank(store, np.asarray(ids), side=32, n_threads=1)
+    assert HBMImageBank.nbytes(6, 32) == 6 * 3 * 32 * 32
+    rows = bank.rows_for(np.asarray([ids[3], ids[0], ids[3]]))
+    assert rows.tolist() == [3, 0, 3]
+    with pytest.raises(KeyError):
+        bank.rows_for(np.asarray([999999]))
+    # host hook rewrites image_ids in place
+    b = bank.host_fn()({"image_ids": np.asarray([ids[1]]), "y": 0})
+    assert b["image_ids"].tolist() == [1]
+    # device gather + fused normalize ≈ host f32 decode+normalize
+    src = bank.image_source()
+    got = np.asarray(src({"image_ids": jnp.asarray([1, 4])}))
+    want = decode_batch([store.get(ids[1]), store.get(ids[4])], 32,
+                        n_threads=1)
+    assert np.abs(got - want).max() < 1.0 / 255.0 / 0.25
+
+
 def test_cache_budget_eviction():
     store = _store(n=6)
     cache = DecodedU8Cache(store, side=56, max_images=4)
