@@ -51,6 +51,23 @@ def _device_peak_flops() -> float:
     return float("nan")
 
 
+def _sync(x) -> float:
+    """Force a REAL device sync by fetching a scalar to host.
+
+    ``block_until_ready`` proved unreliable through the tunneled TPU
+    backend (timing windows occasionally caught in-flight compiles or
+    returned before execution, yielding impossible numbers — MFU 1.76 in
+    one run); a host fetch of a reduced scalar cannot be elided.
+    """
+    import jax.numpy as jnp
+    leaf = x
+    if isinstance(x, dict):
+        leaf = next(iter(x.values()))
+    if hasattr(leaf, "ndim") and leaf.ndim > 0:
+        leaf = jnp.sum(leaf.astype(jnp.float32))
+    return float(leaf)
+
+
 def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
                         warmup: int = 3, image_bank_size: int = 32) -> dict:
     import jax
@@ -122,12 +139,12 @@ def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
         for i in range(warmup):
             key, sub = jax.random.split(key)
             state, out = step(state, grid, static, batch, sub)
-        jax.block_until_ready(out["total"])
+        _sync(out["total"])
         t0 = time.time()
         for i in range(n_steps):
             key, sub = jax.random.split(key)
             state, out = step(state, grid, static, batch, sub)
-        jax.block_until_ready(out["total"])
+        _sync(out["total"])
         dt = time.time() - t0
 
     sps = batch_size * n_steps / dt
@@ -268,9 +285,9 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
             state, out = step(state, grid, static, dev_batch, sub)
             done += 1
             if done == warmup:
-                jax.block_until_ready(out["total"])
+                _sync(out["total"])
                 t0, cpu0 = time.time(), time.process_time()
-        jax.block_until_ready(out["total"])
+        _sync(out["total"])
         dt = time.time() - t0
         host_busy = (time.process_time() - cpu0) / dt
 
@@ -329,11 +346,11 @@ def measure_teacher_inference(batch_size: int = 64, n_steps: int = 10,
         }, mesh)
         for _ in range(warmup):
             out = eval_step(params, stats, grid, static, batch)
-        jax.block_until_ready(out)
+        _sync(out)
         t0 = time.time()
         for _ in range(n_steps):
             out = eval_step(params, stats, grid, static, batch)
-        jax.block_until_ready(out)
+        _sync(out)
         dt = time.time() - t0
     sps = batch_size * n_steps / dt
     return {"samples_per_sec_per_chip": sps / n_chips,
@@ -387,12 +404,12 @@ def measure_ssl_throughput(batch_size: int = 512, n_steps: int = 10,
     for _ in range(warmup):
         key, sub = jax.random.split(key)
         state, out = step(state, grid, static, batch, sub)
-    jax.block_until_ready(out["total"])
+    _sync(out["total"])
     t0 = time.time()
     for _ in range(n_steps):
         key, sub = jax.random.split(key)
         state, out = step(state, grid, static, batch, sub)
-    jax.block_until_ready(out["total"])
+    _sync(out["total"])
     return batch_size * n_steps / (time.time() - t0)
 
 

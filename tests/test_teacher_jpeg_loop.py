@@ -27,7 +27,11 @@ TINY = TeacherConfig(
 
 
 @pytest.mark.slow
-def test_teacher_loop_with_jpeg_store(tmp_path):
+@pytest.mark.parametrize("image_bank", ["hbm", "stream"])
+def test_teacher_loop_with_jpeg_store(tmp_path, image_bank):
+    """Both real-image feeding modes through the FULL loop: the
+    HBM-resident uint8 bank (production default when the set fits) and the
+    per-step streaming host decode fallback."""
     ds = S.make_synthetic(seed=0, n_subjects=100, n_stays=250, n_variables=8,
                           min_len=26, max_len=40, obs_rate=0.5)
     meta = P.meta_from_events(ds, DataConfig())
@@ -46,6 +50,6 @@ def test_teacher_loop_with_jpeg_store(tmp_path):
     res = train_teacher(ads, TINY, cfg, str(tmp_path),
                         DataConfig().pathology_labels,
                         jpeg_store=JpegStore(blobs=blobs),
-                        prefetch_depth=2)
+                        prefetch_depth=2, image_bank=image_bank)
     assert np.isfinite(res.best_metric)
     assert np.isfinite(res.test_metrics["main_auroc"])
