@@ -66,6 +66,11 @@ def add_common_flags(p: argparse.ArgumentParser):
 
 
 def configs_from_args(args) -> tuple:
+    # every training CLI passes through here from its main thread: arm the
+    # graceful-preemption handler (SIGTERM → save state at the epoch
+    # boundary and exit cleanly; utils/preemption.py)
+    from ..utils import preemption
+    preemption.install_handler()
     dcfg = DataConfig(label_col=args.label_col,
                       n_timesteps=args.n_timesteps,
                       split_seed=args.split_seed, data_dir=args.data_dir)

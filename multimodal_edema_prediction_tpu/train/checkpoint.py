@@ -147,15 +147,20 @@ class FullStateResumer:
                  enabled: bool = True):
         if backend not in ("msgpack", "orbax"):
             raise ValueError(f"unknown state_backend {backend!r}")
+        del enabled   # the orbax manager is created lazily on first use
         self.ckpt_dir = ckpt_dir
         self.backend = backend
         self.state_path = os.path.join(ckpt_dir, "train_state.msgpack")
         self.meta_path = os.path.join(ckpt_dir, "train_state.meta.json")
-        self._mgr = None
-        if backend == "orbax" and enabled:
+        self.__mgr = None
+
+    @property
+    def _mgr(self):
+        if self.backend == "orbax" and self.__mgr is None:
             from .orbax_io import make_manager
-            self._mgr = make_manager(os.path.join(ckpt_dir, "orbax_state"),
-                                     max_to_keep=2)
+            self.__mgr = make_manager(
+                os.path.join(self.ckpt_dir, "orbax_state"), max_to_keep=2)
+        return self.__mgr
 
     def restore(self, state):
         """→ (state, meta dict) or (state, None) when nothing to resume."""
@@ -203,8 +208,8 @@ class FullStateResumer:
         os.replace(self.meta_path + ".tmp", self.meta_path)
 
     def finish(self):
-        if self._mgr is not None:
-            self._mgr.wait_until_finished()
+        if self.__mgr is not None:   # don't create a manager just to wait
+            self.__mgr.wait_until_finished()
 
 
 class BestKTracker:

@@ -178,9 +178,15 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                      f"kd={run['kd']/max(nb,1):.3f})  "
                      f"val_auroc={val['auroc']:.4f}"
                      f"{'  *' if improved else ''}")
-            if save_full_state and mh.is_main_process():
+            from ..utils import preemption
+            preempted = preemption.requested()
+            if (save_full_state or preempted) and mh.is_main_process():
                 resumer.save(state, epoch, stopper, tracker, history,
                              n_steps, step_rng)
+            if preempted:
+                log.info(f"SIGTERM/preemption at epoch {epoch} — state "
+                         f"saved; resume with auto_resume/--resume_dir")
+                break
             if stopper.should_stop:
                 break
             if stop_after_epochs is not None \

@@ -164,9 +164,15 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
                             "val_loss": val_loss})
             log.info(f"epoch {epoch:3d}  train={train_loss:.4f}  "
                      f"val={val_loss:.4f}{'  *' if improved else ''}")
-            if save_full_state and mh.is_main_process():
+            from ..utils import preemption
+            preempted = preemption.requested()
+            if (save_full_state or preempted) and mh.is_main_process():
                 resumer.save(state, epoch, stopper, tracker, history,
                              n_steps, step_rng)
+            if preempted:
+                log.info(f"SIGTERM/preemption at epoch {epoch} — state "
+                         f"saved; resume with auto_resume/--resume_dir")
+                break
             if stopper.should_stop:
                 break
             if stop_after_epochs is not None \

@@ -477,9 +477,15 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                 log.info("grad-flow diagnostics:\n" + format_report(diag))
                 log.metrics(diagnostics_to_log_dict(
                     diag, labels=list(pathology_labels)), epoch)
-            if save_full_state and mh.is_main_process():
+            from ..utils import preemption
+            preempted = preemption.requested()
+            if (save_full_state or preempted) and mh.is_main_process():
                 resumer.save(state, epoch, stopper, tracker, history,
                              n_steps, step_rng)
+            if preempted:
+                log.info(f"SIGTERM/preemption at epoch {epoch} — state "
+                         f"saved; resume with auto_resume/--resume_dir")
+                break
             if stopper.should_stop:
                 log.info(f"early stop at epoch {epoch}")
                 break

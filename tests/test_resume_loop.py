@@ -120,6 +120,38 @@ def test_kd_resume_bit_exact(anchor_data, tmp_path):
 
 
 @pytest.mark.slow
+def test_sigterm_preemption_saves_state_and_resumes(anchor_data, tmp_path):
+    """SIGTERM mid-training → the loop finishes the epoch, saves the full
+    state (even without save_full_state), and a restart with auto_resume
+    continues bit-exactly."""
+    import os
+    import signal
+    import threading
+
+    from multimodal_edema_prediction_tpu.utils import preemption
+    labels = DataConfig().pathology_labels
+    d = str(tmp_path / "run")
+    preemption.clear()
+    preemption.install_handler()
+    # deliver a real SIGTERM shortly after training starts
+    timer = threading.Timer(20.0, lambda: os.kill(os.getpid(),
+                                                  signal.SIGTERM))
+    timer.start()
+    try:
+        r1 = train_teacher(anchor_data, TINY, _cfg(4), d, labels)
+    finally:
+        timer.cancel()
+        preemption.clear()
+    assert 1 <= len(r1.history) < 4          # stopped early by the signal
+    assert os.path.exists(os.path.join(d, "train_state.meta.json"))
+    # restart continues from where the signal landed, to completion
+    r2 = train_teacher(anchor_data, TINY, _cfg(4), d, labels,
+                       auto_resume=True)
+    assert len(r2.history) == 4
+    _assert_histories_equal(r2.history[:len(r1.history)], r1.history)
+
+
+@pytest.mark.slow
 def test_resume_orbax_backend(anchor_data, tmp_path):
     labels = DataConfig().pathology_labels
     d = str(tmp_path / "orbax_run")
