@@ -117,7 +117,7 @@ def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
         batch = meshlib.shard_batch({
             "stay_rows": rng.integers(0, n_stays, batch_size).astype(np.int32),
             "slot_idx": np.full(batch_size, T, np.int32),
-            "image_ids": np.arange(batch_size, dtype=np.int32),
+            "image_ids": np.arange(batch_size, dtype=np.int32) % image_bank_size,
             "y": rng.integers(0, 2, batch_size).astype(np.float32),
             "y_multi": rng.integers(0, 2, (batch_size, K)).astype(np.float32),
             "y_multi_mask": np.ones((batch_size, K), np.float32),
@@ -337,7 +337,7 @@ def measure_teacher_inference(batch_size: int = 64, n_steps: int = 10,
         batch = meshlib.shard_batch({
             "stay_rows": rng.integers(0, n_stays, batch_size).astype(np.int32),
             "slot_idx": np.full(batch_size, T, np.int32),
-            "image_ids": np.arange(batch_size, dtype=np.int32),
+            "image_ids": np.arange(batch_size, dtype=np.int32) % image_bank_size,
             "y_multi": rng.integers(0, 2, (batch_size, K)).astype(np.float32),
             "y_multi_mask": np.ones((batch_size, K), np.float32),
             "bin_ends": np.broadcast_to(

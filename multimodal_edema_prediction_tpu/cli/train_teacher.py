@@ -60,6 +60,12 @@ def main(argv=None):
                         "host image work), 'stream' decodes per step on the "
                         "host, 'auto' picks by the HBM budget")
     p.add_argument("--hbm_image_budget_gb", type=float, default=8.0)
+    p.add_argument("--u8_store_path", type=str, default="",
+                   help="catalog-scale streaming: decode all images ONCE "
+                        "into a disk-resident uint8 memmap at this path and "
+                        "serve page-cached reads (for image sets that fit "
+                        "neither the HBM bank nor RAM); used when the HBM "
+                        "bank is unavailable")
     p.add_argument("--resume_dir", type=str, default="",
                    help="existing run directory to continue: restores the "
                         "full train state saved at the last completed epoch "
@@ -136,6 +142,7 @@ def main(argv=None):
                     if args.cxr_jpeg_root else None),
         prefetch_depth=args.prefetch_depth,
         image_bank=args.image_bank,
+        u8_store_path=args.u8_store_path or None,
         hbm_image_budget_gb=args.hbm_image_budget_gb,
         auto_resume=bool(args.resume_dir), save_full_state=args.save_state,
         state_backend=args.state_backend)

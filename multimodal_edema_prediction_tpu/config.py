@@ -192,6 +192,17 @@ class TeacherConfig(_ConfigBase):
     freeze_duett: bool = False
     freeze_cxr: bool = True
 
+    def __post_init__(self):
+        # int8 quantized matmuls round through jnp.round whose gradient is
+        # zero — training through them would silently learn nothing, so the
+        # quantized ViT is only legal frozen. Enforced here (not just in the
+        # CLI) so programmatic construction fails fast too.
+        if self.vit.quant != "none" and not self.freeze_cxr:
+            raise ValueError(
+                f"vit.quant={self.vit.quant!r} requires freeze_cxr=True: "
+                "quantize_rows uses jnp.round (zero gradient) — an unfrozen "
+                "quantized CXR branch trains with silently dead gradients")
+
     @classmethod
     def from_dict(cls, d: dict) -> "TeacherConfig":
         return cls(

@@ -102,13 +102,12 @@ _P12_TS_INDEX = {p: i for i, p in enumerate(P12_TS_PARAMS)}
 P12_STATIC_PARAMS = ("Age", "Gender", "Height", "ICUType", "Weight")
 
 
-def _parse_record(path: str, max_hours: int):
-    """One raw set-X/<RecordID>.txt → (record_id, statics, slot rows)."""
+def _parse_record(path: str):
+    """One raw set-X/<RecordID>.txt → (record_id, statics, observations)
+    where observations is a list of ``(minutes, var_index, value)``."""
     import csv
     statics = {}
-    # (slot → [sum, count] per var) accumulated as dicts; records are small
-    sums: dict = {}
-    counts: dict = {}
+    obs = []
     with open(path) as f:
         reader = csv.reader(f)
         header = next(reader, None)
@@ -136,17 +135,59 @@ def _parse_record(path: str, max_hours: int):
             j = _P12_TS_INDEX.get(param)
             if j is None or v < 0:
                 continue
-            slot = min(int(t.split(":")[0]), max_hours - 1)   # hour bin
-            if slot not in sums:
-                sums[slot] = np.zeros(len(P12_TS_PARAMS), np.float64)
-                counts[slot] = np.zeros(len(P12_TS_PARAMS), np.int32)
-            sums[slot][j] += v
-            counts[slot][j] += 1
-    return rid, statics, sums, counts
+            hh, mm = t.split(":")
+            obs.append((int(hh) * 60 + int(mm), j, v))
+    return rid, statics, obs
+
+
+def _bin_record(obs, binning: str, max_hours: int, n_bins: int):
+    """Observations → (slot → value row, count row) dicts.
+
+    ``absolute``: slot = observation hour clamped to ``max_hours``; value =
+    within-slot MEAN (the framework's MIMIC contract, preprocess.hourly_bin).
+
+    ``relative``: the reference's torchtime-era semantics
+    (duett/physionet.py:92-96) — each record's time axis is divided into
+    ``n_bins`` bins relative to its OWN span (``bin = t/t_last·n_bins``, the
+    final observation landing in the last bin) and within a bin the LAST
+    observation wins (plain overwrite), while counts accumulate per
+    observation.
+    """
+    V = len(P12_TS_PARAMS)
+    sums: dict = {}
+    counts: dict = {}
+
+    def row(slot):
+        if slot not in sums:
+            sums[slot] = np.zeros(V, np.float64)
+            counts[slot] = np.zeros(V, np.int32)
+        return sums[slot], counts[slot]
+
+    if binning == "absolute":
+        for minutes, j, v in obs:
+            s, c = row(min(minutes // 60, max_hours - 1))
+            s[j] += v
+            c[j] += 1
+        vals = {s_: np.where(counts[s_] > 0,
+                             sums[s_] / np.maximum(counts[s_], 1), 0.0)
+                for s_ in sums}
+    elif binning == "relative":
+        t_last = max((m for m, _, _ in obs), default=0)
+        for minutes, j, v in obs:
+            b = n_bins - 1 if minutes == t_last or t_last == 0 else \
+                int(minutes / t_last * n_bins)
+            s, c = row(min(b, n_bins - 1))
+            s[j] = v            # last observation wins (overwrite)
+            c[j] += 1
+        vals = sums
+    else:
+        raise ValueError(f"unknown binning {binning!r}")
+    return vals, counts
 
 
 def load_physionet2012_raw(data_dir: str, max_hours: int = 48,
-                           sets: Sequence[str] = ("set-a", "set-b", "set-c")
+                           sets: Sequence[str] = ("set-a", "set-b", "set-c"),
+                           binning: str = "absolute", n_bins: int = 24
                            ) -> Tuple[SyntheticDataset, Meta]:
     """Raw PhysioNet-2012 challenge files → framework cohort + meta.
 
@@ -157,9 +198,17 @@ def load_physionet2012_raw(data_dir: str, max_hours: int = 48,
         {data_dir}/set-a/132539.txt     # Time,Parameter,Value records
         {data_dir}/Outcomes-a.txt       # RecordID,...,In-hospital_death
 
-    Observations are hourly-binned per slot (value = within-slot mean,
-    count = observation count — the framework's MIMIC contract); statics
-    become [age_z | gender, ICUType one-hot(4), height_z, weight_z]
+    ``binning`` selects the slot semantics (see :func:`_bin_record`):
+
+    - ``"absolute"`` (default): hour-of-stay slots clamped to ``max_hours``,
+      within-slot MEAN values — the framework's MIMIC contract. This is a
+      deliberate deviation from the reference pipeline (cohort slot values
+      differ); use it when P12 flows through the shared MIMIC machinery.
+    - ``"relative"``: the reference's exact semantics
+      (duett/physionet.py:92-96) — ``n_bins`` bins over each record's own
+      span, last-observation-wins — for paper-repro parity runs.
+
+    Statics become [age_z | gender, ICUType one-hot(4), height_z, weight_z]
     (d_static = 8, matching reference d_static_num()). Split/meta/stats
     then flow through the standard ``meta_from_events`` machinery
     (subject-level seed-42 split, train-split z-scoring).
@@ -191,7 +240,8 @@ def load_physionet2012_raw(data_dir: str, max_hours: int = 48,
     all_slots, all_vals, all_cnts = [], [], []
     heights, weights = [], []
     for path in record_paths:
-        rid, st, sums, counts = _parse_record(path, max_hours)
+        rid, st, obs = _parse_record(path)
+        vals_by_slot, counts = _bin_record(obs, binning, max_hours, n_bins)
         if rid is None:
             rid = int(os.path.splitext(os.path.basename(path))[0])
         rids.append(rid)
@@ -205,14 +255,13 @@ def load_physionet2012_raw(data_dir: str, max_hours: int = 48,
         onehots.append(np.concatenate([[0.0 if np.isnan(gender) else gender],
                                        icu, [0.0, 0.0]]))  # h/w filled below
         deaths.append(outcomes.get(rid, 0.0))
-        slots = sorted(sums)
+        slots = sorted(vals_by_slot)
         all_slots.append(np.asarray(slots, np.int32))
         vals = np.zeros((len(slots), V), np.float32)
         cnts = np.zeros((len(slots), V), np.int32)
         for r, s_ in enumerate(slots):
-            c = counts[s_]
-            vals[r] = np.where(c > 0, sums[s_] / np.maximum(c, 1), 0.0)
-            cnts[r] = c
+            vals[r] = vals_by_slot[s_]
+            cnts[r] = counts[s_]
         all_vals.append(vals)
         all_cnts.append(cnts)
         offsets.append(offsets[-1] + len(slots))
@@ -229,7 +278,8 @@ def load_physionet2012_raw(data_dir: str, max_hours: int = 48,
     stay_ids = np.asarray(rids, np.int64)
     events = EventTable(
         stay_ids=stay_ids, subject_ids=stay_ids.copy(),
-        stay_len=np.full(n, max_hours, np.int32),
+        stay_len=np.full(n, max_hours if binning == "absolute" else n_bins,
+                         np.int32),
         offsets=np.asarray(offsets, np.int64),
         slot_idx=np.concatenate(all_slots) if n else np.zeros(0, np.int32),
         values=np.concatenate(all_vals) if n else np.zeros((0, V),

@@ -220,6 +220,13 @@ class AnchorDataset:
     # pixel_values); applied by iter_batches so trainers, evaluators and
     # analysis all see the same enriched batches.
     batch_hook: Optional[callable] = None
+    # >0: partition samples over this many hosts by image_id % P, and build
+    # each global batch as the concat of per-host picks — so host p's local
+    # slice only ever references ITS OWN images, enabling per-host image
+    # banks/stores (pixels partitioned; the tiny anchor/label arrays stay
+    # replicated on every host). The reference equivalent is per-rank
+    # DataLoaders under DDP (training_duett/trainer.py:217-218).
+    host_partition_count: int = 0
 
     @property
     def bin_ends(self) -> np.ndarray:
@@ -264,6 +271,10 @@ class AnchorDataset:
         under ``_global`` for evaluation. See
         ``parallel.multihost.split_batch_for_process``.
         """
+        if self.host_partition_count > 0:
+            yield from self._iter_batches_partitioned(
+                name, batch_size, shuffle, seed, drop_last, limit)
+            return
         idx = self.splits[name]
         if shuffle:
             idx = np.random.default_rng(seed).permutation(idx)
@@ -284,6 +295,66 @@ class AnchorDataset:
                 batch = self.anchor_batch(b)
                 batch["valid"] = np.ones(batch_size, np.float32)
             from ..parallel.multihost import split_batch_for_process
+            batch = split_batch_for_process(batch)
+            if self.batch_hook is not None:
+                batch = self.batch_hook(batch)
+            yield batch
+            count += 1
+            if limit and count >= limit:
+                return
+
+    def _iter_batches_partitioned(self, name: str, batch_size: int,
+                                  shuffle: bool, seed: int,
+                                  drop_last: Optional[bool], limit: int
+                                  ) -> Iterator[dict]:
+        """Host-partitioned batch composition (see ``host_partition_count``).
+
+        Every host computes the SAME global batches deterministically (the
+        pools and permutations depend only on seeds + the replicated anchor
+        arrays); the global batch is the concat of each partition's next
+        ``batch_size/P`` picks, so after ``split_batch_for_process`` host p's
+        rows reference only partition-p images. Uneven pools are padded with
+        their own first element and masked via ``valid``/``y_multi_mask``
+        (shuffled training drops the ragged tail per pool instead).
+        """
+        P = self.host_partition_count
+        if batch_size % P:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{P} host partitions")
+        local = batch_size // P
+        idx = self.splits[name]
+        assign = self.anchor["image_ids"][idx] % P
+        pools = [idx[assign == p] for p in range(P)]
+        for p_i, pool in enumerate(pools):
+            if len(pool) == 0:
+                raise ValueError(
+                    f"host partition {p_i} owns no samples in split "
+                    f"{name!r} — too many partitions for this cohort")
+        rng = np.random.default_rng(seed)
+        if shuffle:
+            pools = [rng.permutation(p) for p in pools]
+        drop = shuffle if drop_last is None else drop_last
+        if drop:
+            nb = min(len(p) // local for p in pools)
+        else:
+            nb = max((len(p) + local - 1) // local for p in pools)
+        from ..parallel.multihost import split_batch_for_process
+        count = 0
+        for i in range(nb):
+            picks, valid = [], []
+            for p in pools:
+                b = p[i * local:(i + 1) * local]
+                pad = local - len(b)
+                if pad:
+                    fill = p[:1] if len(b) == 0 else b[:1]
+                    b = np.concatenate([b, np.repeat(fill, pad)])
+                picks.append(b)
+                valid.append(np.r_[np.ones(local - pad), np.zeros(pad)])
+            gidx = np.concatenate(picks)
+            batch = self.anchor_batch(gidx)
+            v = np.concatenate(valid).astype(np.float32)
+            batch["valid"] = v
+            batch["y_multi_mask"] = batch["y_multi_mask"] * v[:, None]
             batch = split_batch_for_process(batch)
             if self.batch_hook is not None:
                 batch = self.batch_hook(batch)

@@ -57,11 +57,49 @@ class ScaleNorm(nn.Module):
         return out * g.astype(x.dtype)
 
 
+class _TorchBatchNorm(nn.Module):
+    """BatchNorm over axis 0 of a 2-D input with exact torch BatchNorm1d
+    semantics: eps=1e-5, momentum 0.1 (ra = 0.9·ra + 0.1·batch), batch
+    normalized with the BIASED variance but running variance updated with the
+    UNBIASED estimator (×n/(n−1)) — flax ``nn.BatchNorm`` updates with the
+    biased one, which drifts eval-mode numerics away from the reference.
+    Parameter/stat tree matches flax ``nn.BatchNorm`` ({scale,bias} /
+    {mean,var}) so transplant code and checkpoints are unchanged."""
+    use_running_average: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param("use_running_average",
+                             self.use_running_average, use_running_average)
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((d,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((d,), jnp.float32))
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            mean = x32.mean(axis=0)
+            var = x32.var(axis=0)
+            if not self.is_initializing():
+                n = x.shape[0]
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * unbiased
+        inv = jax.lax.rsqrt(var + 1e-5) * scale
+        return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) \
+            + bias.astype(x.dtype)
+
+
 class BatchNormLastDim(nn.Module):
     """BatchNorm1d over the last axis; stats over all leading axes.
 
     Matches torch BatchNorm1d defaults: eps=1e-5, momentum=0.1
-    (flax momentum convention: ra = m*ra + (1-m)*batch → m=0.9).
+    (flax momentum convention: ra = m*ra + (1-m)*batch → m=0.9), including
+    the unbiased running-variance update (see :class:`_TorchBatchNorm`).
     """
     use_running_average: Optional[bool] = None
 
@@ -70,9 +108,7 @@ class BatchNormLastDim(nn.Module):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average)
         flat = x.reshape(-1, x.shape[-1])
-        out = nn.BatchNorm(
-            use_running_average=ura, momentum=0.9, epsilon=1e-5,
-            dtype=x.dtype, param_dtype=jnp.float32)(flat)
+        out = _TorchBatchNorm(name="BatchNorm_0")(flat, use_running_average=ura)
         return out.reshape(x.shape)
 
 
@@ -175,15 +211,21 @@ class PerVariableMLP(nn.Module):
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
 
-        # BatchNorm over all leading axes, per (v, channel).
+        # BatchNorm over all leading axes, per (v, channel). Normalization
+        # uses the biased batch variance; the running update uses the
+        # UNBIASED one (×n/(n−1)) — exact torch BatchNorm1d semantics.
         if train:
             axes = tuple(range(h.ndim - 2))
             h32 = h.astype(jnp.float32)
             mean = jnp.mean(h32, axis=axes)
             var = jnp.var(h32, axis=axes)
             if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= h.shape[a]
                 ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
-                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+                ra_var.value = 0.9 * ra_var.value + \
+                    0.1 * var * (n / max(n - 1, 1))
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + 1e-5) * scale

@@ -129,6 +129,21 @@ def maybe_raw_key(key):
     return np.asarray(jax.random.key_data(key))
 
 
+def any_flag(flag: bool) -> bool:
+    """Global OR of a per-host boolean (no-op single-process).
+
+    Used for preemption: a SIGTERM delivered to only some hosts must stop
+    ALL of them at the same epoch boundary, otherwise the surviving hosts
+    enter the next epoch's collectives alone and the job hangs (the
+    reference's analogue is the broadcast early-stop flag,
+    training_duett/trainer.py:707-716)."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    return bool(multihost_utils.process_allgather(
+        np.asarray(bool(flag))).any())
+
+
 def gather_metrics(x):
     """All-gather host-side values across processes (no-op single-process).
     The reference's analogue is Accelerate's broadcast/reduce of metrics

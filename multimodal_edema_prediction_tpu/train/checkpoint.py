@@ -193,6 +193,13 @@ class FullStateResumer:
 
     def save(self, state, epoch: int, stopper, tracker, history,
              n_steps: int, step_rng):
+        """Call on EVERY process. Orbax save/commit of non-fully-addressable
+        global jax.Arrays is a collective across all processes (it requires a
+        shared checkpoint filesystem — the standard pod setup); gating it on
+        process 0 would deadlock the commit barrier. The msgpack backend
+        materializes host copies on every process (``fetch_global``) but only
+        process 0 writes; the meta-JSON sidecar is likewise main-only."""
+        main = jax.process_index() == 0
         meta = {"epoch": epoch, "stopper_best": stopper.best,
                 "bad_epochs": stopper.bad_epochs,
                 "tracker": tracker.entries, "history": history,
@@ -200,12 +207,13 @@ class FullStateResumer:
                 "rng": np.asarray(jax.random.key_data(step_rng)).tolist()}
         if self.backend == "orbax":
             from .orbax_io import save_state
-            save_state(self._mgr, epoch, state)   # async
-        else:
+            save_state(self._mgr, epoch, state)   # async; collective
+        elif main:
             save_train_state(self.state_path, state, epoch)
-        with open(self.meta_path + ".tmp", "w") as f:
-            json.dump(meta, f)
-        os.replace(self.meta_path + ".tmp", self.meta_path)
+        if main:
+            with open(self.meta_path + ".tmp", "w") as f:
+                json.dump(meta, f)
+            os.replace(self.meta_path + ".tmp", self.meta_path)
 
     def finish(self):
         if self.__mgr is not None:   # don't create a manager just to wait

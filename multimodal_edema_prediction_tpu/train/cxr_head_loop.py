@@ -49,17 +49,30 @@ def extract_cls_features(vit_params, vit_cfg: ViTConfig, image_source,
                          image_ids: np.ndarray, labels: np.ndarray,
                          batch_size: int = 64,
                          cache_path: Optional[str] = None,
-                         jpeg_store=None) -> np.ndarray:
-    """``jpeg_store`` switches the catalog sweep to real images: JPEG bytes
-    are native-decoded on the host per chunk (the reference extracts features
-    from the real 240k-image catalog, cxr_linear_training.ipynb cells 6-9)."""
+                         jpeg_store=None,
+                         u8_store_path: Optional[str] = None) -> np.ndarray:
+    """``jpeg_store`` switches the catalog sweep to real images. With
+    ``u8_store_path`` the images are decoded ONCE into a disk-resident uint8
+    memmap (``data/images.py::U8MemmapStore`` — the catalog-scale tier: 240k
+    images fit neither HBM nor RAM) and every pass serves page-cached reads;
+    without it JPEG bytes are native-decoded per chunk each pass (the
+    reference re-decodes per sample per epoch,
+    cxr_linear_training.ipynb cells 6-9). Host work overlaps device compute
+    via a one-deep pipeline."""
     if cache_path and os.path.exists(cache_path):
         return np.load(cache_path)["cls"]
 
+    u8_fn = None
     if jpeg_store is not None:
-        from ..data.images import decode_batch
         from ..train.engine import default_image_source
         image_source = default_image_source
+        if u8_store_path is not None:
+            from ..data.images import U8MemmapStore
+            store = U8MemmapStore.build(jpeg_store, image_ids,
+                                        vit_cfg.image_size, u8_store_path)
+            u8_fn = store.get_batch
+        else:
+            from ..data.images import decode_batch
 
     @jax.jit
     def step(batch):
@@ -67,17 +80,29 @@ def extract_cls_features(vit_params, vit_cfg: ViTConfig, image_source,
                                         image_source(batch), train=False)
         return cls.astype(jnp.float32)
 
-    out = []
-    N = len(image_ids)
-    for i in range(0, N, batch_size):
-        idx = np.arange(i, min(i + batch_size, N))
+    def make_batch(i):
+        idx = np.arange(i, min(i + batch_size, len(image_ids)))
         batch = {
             "image_ids": image_ids[idx].astype(np.int32),
             "y_multi": np.nan_to_num(labels[idx], nan=0.0)}
-        if jpeg_store is not None:
+        if u8_fn is not None:
+            batch["pixel_u8"] = u8_fn(image_ids[idx])
+        elif jpeg_store is not None:
             blobs = [jpeg_store.get(j) for j in image_ids[idx]]
             batch["pixel_values"] = decode_batch(blobs, vit_cfg.image_size)
-        out.append(np.asarray(step(batch)))
+        return batch
+
+    from concurrent.futures import ThreadPoolExecutor
+    out = []
+    N = len(image_ids)
+    starts = list(range(0, N, batch_size))
+    with ThreadPoolExecutor(1) as ex:
+        nxt = ex.submit(make_batch, starts[0])
+        for k, i in enumerate(starts):
+            batch = nxt.result()
+            if k + 1 < len(starts):   # overlap host image work with the ViT
+                nxt = ex.submit(make_batch, starts[k + 1])
+            out.append(np.asarray(step(batch)))
     cls = np.concatenate(out)
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)

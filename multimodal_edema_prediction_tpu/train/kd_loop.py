@@ -179,8 +179,9 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                      f"val_auroc={val['auroc']:.4f}"
                      f"{'  *' if improved else ''}")
             from ..utils import preemption
-            preempted = preemption.requested()
-            if (save_full_state or preempted) and mh.is_main_process():
+            # agree on the flag globally: SIGTERM may hit only some hosts
+            preempted = mh.any_flag(preemption.requested())
+            if save_full_state or preempted:
                 resumer.save(state, epoch, stopper, tracker, history,
                              n_steps, step_rng)
             if preempted:

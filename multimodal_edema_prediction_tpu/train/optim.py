@@ -58,8 +58,14 @@ def make_optimizer(cfg: OptimConfig, total_steps: int,
              "correction": cfg.correction_lr_mult, "rest": 1.0}
 
     def group_tx(mult):
+        # torch CosineAnnealingLR gets eta_min = args.lr · min_lr_ratio as an
+        # ABSOLUTE floor shared by every param group (trainer.py:124), so a
+        # mult-scaled group's cosine bottoms out at lr·ratio, not
+        # lr·mult·ratio — divide the ratio by the mult to reproduce that.
+        alpha = min(cfg.min_lr_ratio / mult, 1.0) if mult > 0 \
+            else cfg.min_lr_ratio
         sched = warmup_cosine(cfg.lr * mult, cfg.warmup_steps, total_steps,
-                              cfg.min_lr_ratio)
+                              alpha)
         tx = optax.adamw(sched, b1=cfg.b1, b2=cfg.b2,
                          weight_decay=cfg.weight_decay)
         if cfg.grad_clip > 0:

@@ -141,6 +141,17 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
             # multiple of the data mesh axis (an indivisible batch cannot
             # shard)
             n_data = int(mesh.shape.get("data", 1))
+            if dataset.split_size("val") < n_data:
+                # a val split smaller than the data-mesh axis cannot form
+                # even one shardable batch; SlidingSSLDataset drops the
+                # incomplete remainder, validation would yield zero batches
+                # and val_loss would silently become NaN (never firing
+                # early-stop / best-ckpt) — fail fast instead
+                raise ValueError(
+                    f"val split has {dataset.split_size('val')} windows < "
+                    f"data-mesh axis {n_data}; cannot build a shardable "
+                    f"validation batch — enlarge the val split or shrink "
+                    f"the mesh")
             val_bs = min(cfg.batch_size,
                          max(dataset.split_size("val"), 1))
             val_bs = max((val_bs // n_data) * n_data, n_data)
@@ -165,8 +176,9 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
             log.info(f"epoch {epoch:3d}  train={train_loss:.4f}  "
                      f"val={val_loss:.4f}{'  *' if improved else ''}")
             from ..utils import preemption
-            preempted = preemption.requested()
-            if (save_full_state or preempted) and mh.is_main_process():
+            # agree on the flag globally: SIGTERM may hit only some hosts
+            preempted = mh.any_flag(preemption.requested())
+            if save_full_state or preempted:
                 resumer.save(state, epoch, stopper, tracker, history,
                              n_steps, step_rng)
             if preempted:

@@ -50,11 +50,20 @@ def make_synthetic_image_source(image_size: int = 518):
 def make_bank_image_source(bank):
     """Gather pixel batches from a device-resident (prefetched) image bank —
     the production shape of the input pipeline: images land in HBM ahead of
-    the step; the step only indexes them."""
+    the step; the step only indexes them.
+
+    Out-of-range ids are poisoned with NaN (not silently aliased or clamped):
+    a broken id→row mapping then trips the training loop's finite-loss guard
+    on the very first epoch instead of quietly training on wrong images.
+    Host-side validation with a real exception lives in
+    ``HBMImageBank.rows_for`` (the production hook)."""
     n = bank.shape[0]
 
     def source(batch):
-        return bank[batch["image_ids"] % n]
+        ids = batch["image_ids"]
+        rows = bank[jnp.clip(ids, 0, n - 1)]
+        bad = (ids < 0) | (ids >= n)
+        return jnp.where(bad[:, None, None, None], jnp.nan, rows)
     return source
 
 
@@ -136,6 +145,7 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                   pretrained_head_ckpt: Optional[str] = None,
                   jpeg_store=None, prefetch_depth: int = 2,
                   image_bank: str = "auto",
+                  u8_store_path: Optional[str] = None,
                   hbm_image_budget_gb: float = 8.0,
                   auto_resume: bool = False,
                   save_full_state: Optional[bool] = None,
@@ -178,12 +188,14 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
     K = len(pathology_labels)
     lw = np.ones(K, np.float32)   # uniform per-pathology (trainer.py:390-391)
     if jpeg_store is not None:
-        # real-image path. Preferred: decode every image ONCE into a
-        # device-resident uint8 bank (zero per-step host image work or
-        # H2D image bytes; normalization fuses into the step). Falls back
-        # to per-step host decode via the dataset's batch hook when the
-        # bank exceeds the HBM budget or under multi-process runs (the
-        # bank would need per-host sharding — streaming keeps it simple).
+        # real-image path. Single-process preferred tier: decode every image
+        # ONCE into a device-resident uint8 bank (zero per-step host image
+        # work or H2D image bytes; normalization fuses into the step).
+        # Multi-process: per-host partitioned feeding — each host decodes
+        # only its ``image_id % P`` share into RAM (or a disk memmap via
+        # ``u8_store_path``) and batches are composed per-partition
+        # (AnchorDataset.host_partition_count), so a pod never replicates
+        # the pixel set per chip. Last resort: per-step host JPEG decode.
         if image_bank not in ("auto", "hbm", "stream"):
             raise ValueError(f"unknown image_bank mode {image_bank!r}")
         from ..data.images import HBMImageBank, make_jpeg_host_fn
@@ -194,8 +206,26 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
             use_bank = (not multi
                         and bank_bytes <= hbm_image_budget_gb * 2 ** 30)
         else:
-            use_bank = image_bank == "hbm"
-        if use_bank:
+            use_bank = image_bank == "hbm" and not multi
+        if multi:
+            P, pid = mh.process_count(), jax.process_index()
+            own_ids = all_ids[all_ids % P == pid]
+            dataset.host_partition_count = P
+            if u8_store_path is not None:
+                from ..data.images import U8MemmapStore
+                store = U8MemmapStore.build(jpeg_store, own_ids, S,
+                                            f"{u8_store_path}.host{pid}")
+                dataset.batch_hook = store.host_fn()
+            else:
+                from ..data.images import HostU8Bank
+                hbank = HostU8Bank(jpeg_store, own_ids, S)
+                dataset.batch_hook = hbank.host_fn()
+            image_source = engine.default_image_source
+            log.info(f"[images] per-host u8 partition "
+                     f"({len(own_ids)}/{len(all_ids)} images on host "
+                     f"{pid}/{P}, {bank_bytes / P / 2**30:.2f} GiB/host) — "
+                     f"pixels never replicated across the pod")
+        elif use_bank:
             bank = HBMImageBank(
                 jpeg_store, all_ids, S,
                 device_put=lambda a: jax.device_put(
@@ -205,6 +235,19 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
             log.info(f"[images] HBM-resident u8 bank: {len(all_ids)} images"
                      f" ({bank_bytes / 2**30:.2f} GiB) — per-step host "
                      f"image work eliminated")
+        elif u8_store_path is not None:
+            # catalog-scale tier: decode ONCE into a disk-resident uint8
+            # memmap; epochs serve page-cached reads in the prefetch thread
+            # and normalization fuses into the jitted step
+            from ..data.images import U8MemmapStore
+            store = U8MemmapStore.build(jpeg_store, all_ids, S,
+                                        u8_store_path)
+            dataset.batch_hook = store.host_fn()
+            image_source = engine.default_image_source
+            log.info(f"[images] disk-resident u8 memmap store "
+                     f"({len(all_ids)} images, "
+                     f"{bank_bytes / 2**30:.2f} GiB at {u8_store_path}) — "
+                     f"decode-once, page-cached streaming")
         else:
             dataset.batch_hook = make_jpeg_host_fn(jpeg_store, S)
             image_source = engine.default_image_source
@@ -478,8 +521,9 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                 log.metrics(diagnostics_to_log_dict(
                     diag, labels=list(pathology_labels)), epoch)
             from ..utils import preemption
-            preempted = preemption.requested()
-            if (save_full_state or preempted) and mh.is_main_process():
+            # agree on the flag globally: SIGTERM may hit only some hosts
+            preempted = mh.any_flag(preemption.requested())
+            if save_full_state or preempted:
                 resumer.save(state, epoch, stopper, tracker, history,
                              n_steps, step_rng)
             if preempted:

@@ -1,14 +1,16 @@
-"""Worker process for the 2-process multi-host test (not a pytest module).
+"""Worker process for the 2-process multi-host tests (not a pytest module).
 
 Launched twice by ``test_multihost_2proc.py`` with a shared coordinator
 address; each process owns 4 virtual CPU devices of an 8-device global mesh
-and runs the SAME tiny teacher recipe end-to-end through
-``train_teacher`` — per-host batch slices, globally-sharded steps,
-all-gathered eval, main-only checkpointing. Results land in a per-process
-JSON for the parent to compare (across processes AND against the
-single-process run of the identical recipe).
+and runs the selected tiny recipe end-to-end (teacher / teacher_images /
+ssl / kd — see ``mh_recipe.py``): per-host batch slices (or per-host image
+partitions), globally-sharded steps, all-gathered eval, main-only
+checkpointing on the SHARED workdir. Results land in a per-process JSON for
+the parent to compare (across processes AND against the single-process run
+of the identical recipe).
 
 Usage: python mh_worker.py <process_id> <num_processes> <port> <outdir>
+       [recipe]
 """
 import json
 import os
@@ -18,6 +20,7 @@ import sys
 def main():
     pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                 int(sys.argv[3]), sys.argv[4])
+    recipe = sys.argv[5] if len(sys.argv) > 5 else "teacher"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=4")
     import jax
@@ -32,7 +35,7 @@ def main():
     assert len(jax.devices()) == 4 * nproc
 
     from mh_recipe import run_recipe
-    result = run_recipe()
+    result = run_recipe(recipe, workdir=os.path.join(outdir, "shared"))
     result["process_id"] = pid
     result["is_main"] = is_main_process()
     with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:

@@ -94,6 +94,16 @@ class _LightningModule(nn.Module):
     def log_dict(self, *a, **k):
         pass
 
+    @classmethod
+    def load_from_checkpoint(cls, ckpt_path, strict=True, **kwargs):
+        """Lightning-semantics subset used by ``load_duett_backbone``
+        (models/main_architecture_duett.py:106-117): construct with the
+        caller's kwargs, load ``state_dict`` with the given strictness."""
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        model = cls(**kwargs)
+        model.load_state_dict(ckpt["state_dict"], strict=strict)
+        return model
+
 
 def install_stubs():
     if "torchmetrics" not in sys.modules:
@@ -115,6 +125,29 @@ def install_stubs():
 
 
 _cache = {}
+
+
+class use_encoder:
+    """Context manager: swap the ``x_transformers.Encoder`` stub for another
+    implementation (e.g. ``ref_encoder.FaithfulEncoder``) while constructing
+    reference models. The reference binds ``x_transformers.Encoder`` late
+    (module-attribute lookup at Model.__init__, duett/duett.py:95-105), so
+    models built inside the context get the chosen encoder; models built
+    outside keep the identity stub the module-parity tests rely on."""
+
+    def __init__(self, impl):
+        self.impl = impl
+
+    def __enter__(self):
+        install_stubs()
+        xt = sys.modules["x_transformers"]
+        self._prev = xt.Encoder
+        xt.Encoder = self.impl
+        return self
+
+    def __exit__(self, *exc):
+        sys.modules["x_transformers"].Encoder = self._prev
+        return False
 
 
 def load_reference():
@@ -255,10 +288,13 @@ def cve_from(seq: nn.Sequential, batch_norm: bool = True):
     return params, stats
 
 
-def duett_encoder_params(ref_model) -> tuple[dict, dict]:
+def duett_encoder_params(ref_model, with_transformers: bool = False
+                         ) -> tuple[dict, dict]:
     """reference DuettFeatureExtractor (duett.Model) → flax DuettEncoder
-    (params, batch_stats). Transformer params are NOT produced (identity-tx
-    parity mode)."""
+    (params, batch_stats). By default transformer params are NOT produced
+    (identity-tx parity mode); ``with_transformers=True`` additionally
+    transplants ``ref_encoder.FaithfulEncoder`` dual-axis encoders (the model
+    must have been built under ``use_encoder(FaithfulEncoder)``)."""
     V = ref_model.d_time_series_num
 
     # per-variable MLPs: V × Sequential(Linear(2,64), ReLU, Drop, BN, Linear)
@@ -293,4 +329,12 @@ def duett_encoder_params(ref_model) -> tuple[dict, dict]:
         "tab_encoder": tab_s,
         "full_time_embedding": cve_s,
     }
+    if with_transformers:
+        from ref_encoder import FaithfulEncoder, encoder_params_from
+        for i, (et, tt) in enumerate(zip(ref_model.event_transformers,
+                                         ref_model.time_transformers)):
+            assert isinstance(et, FaithfulEncoder), \
+                "build the reference model under use_encoder(FaithfulEncoder)"
+            params[f"event_transformer_{i}"] = encoder_params_from(et)
+            params[f"time_transformer_{i}"] = encoder_params_from(tt)
     return params, batch_stats

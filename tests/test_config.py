@@ -48,3 +48,14 @@ def test_diff_tag_reflects_non_defaults():
 def test_pathology_label_invariant():
     with pytest.raises(ValueError, match="pathology_labels"):
         DataConfig(label_col="label_effusion")
+
+
+def test_quant_requires_frozen_cxr():
+    """int8 ViT quant with an unfrozen CXR branch would train through
+    jnp.round's zero gradient — rejected at config construction, not just
+    in the CLI."""
+    from multimodal_edema_prediction_tpu.config import TeacherConfig, ViTConfig
+    with pytest.raises(ValueError, match="freeze_cxr"):
+        TeacherConfig(vit=ViTConfig(quant="int8"), freeze_cxr=False)
+    # frozen is fine
+    TeacherConfig(vit=ViTConfig(quant="int8"), freeze_cxr=True)

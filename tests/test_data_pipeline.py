@@ -148,3 +148,45 @@ def test_meta_round_trip(meta, tmp_path):
     np.testing.assert_allclose(m2.means, meta.means)
     assert m2.all_vars == meta.all_vars
     assert m2.d_static == meta.d_static
+
+
+def test_host_partitioned_batches_cover_split_and_respect_ownership():
+    """host_partition_count=P composes each global batch as P per-partition
+    slices (image_id % P), so host p's rows only ever reference its own
+    images (per-host bank feeding); unshuffled iteration covers every sample
+    exactly once with padding masked via `valid`."""
+    from multimodal_edema_prediction_tpu.config import DataConfig
+    from multimodal_edema_prediction_tpu.data import pipeline as P
+    from multimodal_edema_prediction_tpu.data import synthetic as S
+    ds = S.make_synthetic(seed=0, n_subjects=40, n_stays=80, n_variables=6,
+                          min_len=26, max_len=40, obs_rate=0.5)
+    meta = P.meta_from_events(ds, DataConfig())
+    ads = P.build_anchor_dataset(ds, meta, DataConfig())
+    Pn, B = 2, 16
+    ads.host_partition_count = Pn
+    local = B // Pn
+
+    seen = []
+    for batch in ads.iter_batches("train", B, shuffle=False):
+        ids = batch["image_ids"]
+        for p in range(Pn):
+            sl = slice(p * local, (p + 1) * local)
+            assert (ids[sl] % Pn == p).all()          # ownership invariant
+        v = batch["valid"].astype(bool)
+        assert (batch["y_multi_mask"][~v] == 0).all()  # padding masked
+        seen.extend(np.asarray(batch["stay_rows"])[v].tolist())
+        # padded rows never counted: valid rows map 1:1 onto split samples
+    train_idx = ads.splits["train"]
+    assert len(seen) == len(train_idx)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(seen)),
+        np.sort(ads.anchor["stay_rows"][train_idx]))
+
+    # shuffled training mode drops ragged tails instead of padding
+    for batch in ads.iter_batches("train", B, shuffle=True, seed=1):
+        assert batch["valid"].all()
+
+    # too many partitions for the cohort → loud failure, not silent skew
+    ads.host_partition_count = 64
+    with pytest.raises(ValueError, match="owns no samples"):
+        next(ads.iter_batches("train", 64, shuffle=False))

@@ -84,3 +84,21 @@ def test_jpeg_prefetch_into_teacher_step():
         assert n == 3
         assert np.isfinite(float(out["total"]))
         assert int(state.step) == 3
+
+
+def test_bank_image_source_poisons_out_of_range_ids():
+    """make_bank_image_source must not silently alias out-of-range ids
+    (the old modulo path); bad ids poison the gathered rows with NaN so the
+    loop's finite-loss guard trips immediately."""
+    from multimodal_edema_prediction_tpu.train.teacher_loop import \
+        make_bank_image_source
+    bank = jnp.asarray(np.random.default_rng(0).random((4, 8, 8, 3),
+                                                       np.float32))
+    src = jax.jit(lambda b: make_bank_image_source(bank)(b))
+    good = src({"image_ids": jnp.asarray([0, 3, 2])})
+    assert np.isfinite(np.asarray(good)).all()
+    np.testing.assert_allclose(np.asarray(good[1]), np.asarray(bank[3]))
+    bad = src({"image_ids": jnp.asarray([0, 4, -1])})
+    bad = np.asarray(bad)
+    assert np.isfinite(bad[0]).all()
+    assert np.isnan(bad[1]).all() and np.isnan(bad[2]).all()

@@ -37,14 +37,11 @@ def test_batchnorm_lastdim_matches_torch_train_and_eval(rng):
     np.testing.assert_allclose(
         np.asarray(mutated["batch_stats"]["BatchNorm_0"]["mean"]),
         tbn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
-    # torch uses unbiased batch variance for running stats; flax uses biased.
-    # running_var_torch = 0.9*1 + 0.1*var_unbiased;
-    # ours             = 0.9*1 + 0.1*var_biased = 0.9 + (rv-0.9)*(n-1)/n
-    n = 16 * 7
+    # running variance updates with the UNBIASED batch variance — exact torch
+    # BatchNorm1d semantics (normalization itself stays biased)
     np.testing.assert_allclose(
         np.asarray(mutated["batch_stats"]["BatchNorm_0"]["var"]),
-        0.9 + (tbn.running_var.numpy() - 0.9) * (n - 1) / n,
-        rtol=1e-4, atol=1e-5)
+        tbn.running_var.numpy(), rtol=1e-4, atol=1e-5)
 
 
 def test_simple_mlp_structure_and_grads(rng):

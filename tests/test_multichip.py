@@ -49,3 +49,81 @@ def test_batch_shards_across_data_axis():
     shard_shapes = {s.data.shape for s in dev["x"].addressable_shards}
     assert shard_shapes == {(2, 4)}
     np.testing.assert_array_equal(np.asarray(dev["x"]), batch["x"])
+
+
+def test_full_size_teacher_step_aot_lowers_on_8dev_mesh():
+    """AOT-lower (no execute) the FULL-SIZE teacher training step — 34-var
+    DuETT + ViT-B/14 @ 518 — on the 8-device data×model mesh, closing the
+    blind spot of the tiny-config dryrun (a sharding-spec mistake that only
+    manifests at real dims would otherwise ship). Lower-only keeps this fast:
+    tracing builds the whole fwd+bwd+update jaxpr with the production
+    shardings attached, without paying a full-size CPU compile/execute."""
+    import jax.numpy as jnp
+    from multimodal_edema_prediction_tpu.config import (TeacherConfig,
+                                                        TrainConfig)
+    from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
+    from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
+    from multimodal_edema_prediction_tpu.parallel.mesh import param_spec
+    from multimodal_edema_prediction_tpu.train import engine
+    from multimodal_edema_prediction_tpu.train.optim import make_optimizer
+    from multimodal_edema_prediction_tpu.train.state import TrainState
+    from multimodal_edema_prediction_tpu.train.teacher_loop import (
+        make_synthetic_image_source, teacher_frozen_prefixes)
+
+    mesh = meshlib.create_mesh(4, 2)
+    cfg = TeacherConfig()                    # FULL size, no tiny shortcut
+    tcfg = TrainConfig(batch_size=16, dtype="bfloat16")
+    model = TeacherModel(cfg)
+    T, V, D = cfg.duett.n_timesteps, cfg.duett.n_variables, cfg.duett.d_static
+    B, K, S = tcfg.batch_size, cfg.perceiver.n_pathologies, cfg.vit.image_size
+
+    # abstract init (no execution), then zero-materialize + production shard
+    x_in = jnp.zeros((2, T, 2 * V + 1), jnp.float32)
+    abstract = jax.eval_shape(
+        lambda r: model.init(r, x_in, jnp.zeros((2, D), jnp.float32),
+                             jnp.zeros((2, T), jnp.float32),
+                             jnp.zeros((2, S, S, 3), jnp.float32)),
+        jax.random.key(0))
+    variables = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), abstract)
+    tx = make_optimizer(tcfg.optim, total_steps=100,
+                        frozen_prefixes=teacher_frozen_prefixes(cfg))
+    with mesh:
+        params = meshlib.shard_params(variables["params"], mesh)
+        state = TrainState.create(params, variables["batch_stats"], tx)
+        step = engine.make_teacher_step(
+            model, tcfg, cfg.duett, T, np.ones(K, np.float32),
+            dtype=jnp.bfloat16,
+            image_source=make_synthetic_image_source(S))
+        rep = meshlib.replicated(mesh)
+        grid = jax.device_put(np.zeros((8, T + 8, 2 * V), np.float32), rep)
+        static = jax.device_put(np.zeros((8, D), np.float32), rep)
+        batch = meshlib.shard_batch({
+            "stay_rows": np.zeros(B, np.int32),
+            "slot_idx": np.full(B, T, np.int32),
+            "image_ids": np.arange(B, dtype=np.int32),
+            "y": np.zeros(B, np.float32),
+            "y_multi": np.zeros((B, K), np.float32),
+            "y_multi_mask": np.ones((B, K), np.float32),
+            "bin_ends": np.broadcast_to(
+                (np.arange(1, T + 1) / 24.0).astype(np.float32),
+                (B, T)).copy(),
+        }, mesh)
+        lowered = step.lower(state, grid, static, batch, jax.random.key(1))
+
+    # every param carries exactly the spec the TP rules prescribe
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    from jax.sharding import NamedSharding
+    n_tp = 0
+    for path_entries, leaf in flat:
+        path = "/".join(str(getattr(k, "key", k)) for k in path_entries)
+        want = param_spec(path, leaf)
+        assert leaf.sharding == NamedSharding(mesh, want), path
+        if want != jax.sharding.PartitionSpec():
+            n_tp += 1
+    assert n_tp >= 48          # 12 ViT blocks × (qkv+out+mlp_in/out) kernels
+
+    # the lowered module must carry the sharding annotations through
+    text = lowered.as_text()
+    assert "mhlo.sharding" in text or "sdy.sharding" in text
+    # batch stays data-sharded in the lowered signature
+    assert batch["y_multi"].sharding.spec == jax.sharding.PartitionSpec("data")

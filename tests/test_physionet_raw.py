@@ -104,6 +104,50 @@ def test_hourly_binning_means_and_counts(tmp_path):
     assert ds.static.death_adm[0] == 1.0
 
 
+def test_relative_binning_reference_semantics(tmp_path):
+    """binning='relative' mirrors the reference exactly
+    (duett/physionet.py:92-96): bins over the record's OWN span, the final
+    observation lands in the last bin, within-bin value = LAST observation
+    (overwrite), counts accumulate per observation."""
+    seta = tmp_path / "set-a"
+    seta.mkdir()
+    # span = 40h; n_bins=4 → bin = minutes/2400*4
+    _write_record(str(seta), 150000,
+                  [("00:00", "HR", 60.0),      # t=0    → bin 0
+                   ("05:00", "HR", 70.0),      # t=300  → bin 0 (overwrite)
+                   ("12:00", "HR", 80.0),      # t=720  → bin 1
+                   ("30:00", "GCS", 10.0),     # t=1800 → bin 3
+                   ("40:00", "HR", 90.0)],     # t=t_last → last bin 3
+                  {"Age": 60, "Gender": 1, "Height": 175.0, "ICUType": 2,
+                   "Weight": 82.0})
+    for k in range(1, 6):
+        _write_record(str(seta), 150000 + k, [("02:00", "HR", 75.0)],
+                      {"Age": 50 + k, "Gender": 0, "Height": 160.0,
+                       "ICUType": 1, "Weight": 70.0})
+    with open(tmp_path / "Outcomes-a.txt", "w") as f:
+        f.write("RecordID,SAPS-I,SOFA,Length_of_stay,Survival,"
+                "In-hospital_death\n")
+        for k in range(6):
+            f.write(f"{150000 + k},1,1,5,-1,{k % 2}\n")
+    ds, _ = load_physionet2012_raw(str(tmp_path), binning="relative",
+                                   n_bins=4)
+    ev = ds.events
+    i_hr = P12_TS_PARAMS.index("HR")
+    i_gcs = P12_TS_PARAMS.index("GCS")
+    lo, hi = ev.offsets[0], ev.offsets[1]
+    slots = ev.slot_idx[lo:hi].tolist()
+    assert set(slots) == {0, 1, 3}
+    r0 = lo + slots.index(0)
+    assert ev.values[r0, i_hr] == pytest.approx(70.0)   # last obs wins
+    assert ev.counts[r0, i_hr] == 2                      # both counted
+    r1 = lo + slots.index(1)
+    assert ev.values[r1, i_hr] == pytest.approx(80.0)
+    r3 = lo + slots.index(3)
+    assert ev.values[r3, i_hr] == pytest.approx(90.0)    # t_last → last bin
+    assert ev.values[r3, i_gcs] == pytest.approx(10.0)
+    assert int(ev.stay_len[0]) == 4                      # n_bins, not hours
+
+
 def test_flows_into_stay_label_dataset(raw_dir):
     from multimodal_edema_prediction_tpu.data.sliding import \
         build_stay_label_dataset

@@ -102,3 +102,55 @@ def test_cache_budget_eviction():
     assert len(cache._cache) <= 4
     out = cache.get_batch(np.arange(6))   # still correct after eviction
     assert out.shape == (6, 56, 56, 3)
+
+
+# =============================================================================
+# U8MemmapStore — catalog-scale decode-once disk tier (VERDICT r2 item 2)
+# =============================================================================
+def test_u8_memmap_build_open_and_gather(tmp_path):
+    from multimodal_edema_prediction_tpu.data.images import U8MemmapStore
+    store = _store(n=9)
+    ids = np.array([3, 1, 4, 1, 5, 0, 2, 6, 7, 8])
+    path = str(tmp_path / "imgs" / "cat")
+    st = U8MemmapStore.build(store, ids, 56, path, n_threads=2, chunk=4)
+    # rows match a direct decode of the same bytes
+    direct = decode_batch_u8([store.get(3), store.get(7)], 56)
+    got = st.get_batch(np.array([3, 7]))
+    np.testing.assert_array_equal(got, direct)
+    # reopen from disk (fresh process path) — identical
+    st2 = U8MemmapStore.open(path)
+    np.testing.assert_array_equal(st2.get_batch(np.array([3, 7])), direct)
+    # build() with the same id set reuses the finished store (no re-decode)
+    calls = []
+    orig_get = store.get
+    store.get = lambda i: (calls.append(i), orig_get(i))[1]
+    U8MemmapStore.build(store, ids, 56, path)
+    assert not calls
+
+
+def test_u8_memmap_rejects_mismatched_fingerprint(tmp_path):
+    from multimodal_edema_prediction_tpu.data.images import U8MemmapStore
+    store = _store(n=4)
+    path = str(tmp_path / "cat")
+    U8MemmapStore.build(store, np.arange(4), 56, path)
+    with pytest.raises(ValueError, match="different image set"):
+        U8MemmapStore.build(store, np.arange(3), 56, path)
+
+
+def test_u8_memmap_unknown_id_raises(tmp_path):
+    from multimodal_edema_prediction_tpu.data.images import U8MemmapStore
+    store = _store(n=4)
+    st = U8MemmapStore.build(store, np.arange(4), 56, str(tmp_path / "c"))
+    with pytest.raises(KeyError, match="not in u8 store"):
+        st.get_batch(np.array([0, 99]))
+
+
+def test_u8_memmap_host_fn_feeds_device_normalization(tmp_path):
+    from multimodal_edema_prediction_tpu.data.images import U8MemmapStore
+    store = _store(n=4)
+    st = U8MemmapStore.build(store, np.arange(4), 56, str(tmp_path / "c"))
+    batch = st.host_fn()({"image_ids": np.array([1, 2])})
+    assert batch["pixel_u8"].dtype == np.uint8
+    px = default_image_source({"pixel_u8": jnp.asarray(batch["pixel_u8"])})
+    f32 = decode_batch([store.get(1), store.get(2)], 56)
+    np.testing.assert_allclose(np.asarray(px), f32, atol=0.51 / 255 / 0.25)
