@@ -73,7 +73,8 @@ def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
     import jax
     import jax.numpy as jnp
     from multimodal_edema_prediction_tpu.config import (TeacherConfig,
-                                                        TrainConfig)
+                                                        TrainConfig,
+                                                        ViTConfig)
     from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
     from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
     from multimodal_edema_prediction_tpu.train import engine
@@ -84,7 +85,10 @@ def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
 
     n_chips = len(jax.devices())
     mesh = meshlib.create_mesh(n_chips, 1)
-    cfg = TeacherConfig()            # full-size: 34 vars, ViT-B/14 @ 518
+    # full-size production config: 34 vars, ViT-B/14 @ 518, flash
+    # block_b=2 (the flash-step-probe winner; the engine step factories
+    # raise the scoped-VMEM limit to admit it — ops/attention.py)
+    cfg = TeacherConfig(vit=ViTConfig(flash_block_b=2))
     tcfg = TrainConfig(batch_size=batch_size)
     T, V, D = cfg.duett.n_timesteps, cfg.duett.n_variables, cfg.duett.d_static
     K = cfg.perceiver.n_pathologies
@@ -188,7 +192,8 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
     from PIL import Image
 
     from multimodal_edema_prediction_tpu.config import (TeacherConfig,
-                                                        TrainConfig)
+                                                        TrainConfig,
+                                                        ViTConfig)
     from multimodal_edema_prediction_tpu.data.images import (
         DecodedU8Cache, HBMImageBank, JpegStore, make_jpeg_host_fn,
         make_u8_cache_host_fn)
@@ -203,7 +208,7 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
 
     n_chips = len(jax.devices())
     mesh = meshlib.create_mesh(n_chips, 1)
-    cfg = TeacherConfig()
+    cfg = TeacherConfig(vit=ViTConfig(flash_block_b=2))
     tcfg = TrainConfig(batch_size=batch_size)
     T, V, D = cfg.duett.n_timesteps, cfg.duett.n_variables, cfg.duett.d_static
     K = cfg.perceiver.n_pathologies
@@ -231,6 +236,17 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
         cache = DecodedU8Cache(store, S, n_threads=n_host_threads)
         cache.get_batch(np.arange(n_images))      # steady state: pre-filled
         host_fn = make_u8_cache_host_fn(cache)
+    elif mode == "u8memmap":
+        # catalog-scale tier: decode-once DISK-resident store; per-step host
+        # work = page-cached memmap row gather (no decode). Steady state =
+        # store already built (epoch ≥ 2 / any later process).
+        import tempfile
+        from multimodal_edema_prediction_tpu.data.images import U8MemmapStore
+        tmpd = tempfile.mkdtemp(prefix="u8store_")
+        mstore = U8MemmapStore.build(store, np.arange(n_images), S,
+                                     os.path.join(tmpd, "bench"),
+                                     n_threads=n_host_threads)
+        host_fn = mstore.host_fn()
     elif mode == "hbm":
         bank = HBMImageBank(store, np.arange(n_images), S,
                             n_threads=n_host_threads)
@@ -304,7 +320,8 @@ def measure_teacher_inference(batch_size: int = 64, n_steps: int = 10,
     the deployment-relevant throughput next to the training headline."""
     import jax
     import jax.numpy as jnp
-    from multimodal_edema_prediction_tpu.config import TeacherConfig
+    from multimodal_edema_prediction_tpu.config import (TeacherConfig,
+                                                        ViTConfig)
     from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
     from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
     from multimodal_edema_prediction_tpu.train import engine
@@ -313,7 +330,7 @@ def measure_teacher_inference(batch_size: int = 64, n_steps: int = 10,
 
     n_chips = len(jax.devices())
     mesh = meshlib.create_mesh(n_chips, 1)
-    cfg = TeacherConfig()
+    cfg = TeacherConfig(vit=ViTConfig(flash_block_b=2))
     T, V, D = cfg.duett.n_timesteps, cfg.duett.n_variables, cfg.duett.d_static
     K = cfg.perceiver.n_pathologies
     model = TeacherModel(cfg)
@@ -451,16 +468,31 @@ def measure_jpeg_decode_imgs_per_sec(n_images: int = 8,
 
 
 def main():
-    result = measure_jax_teacher()
+    # batch sweep (the reference trains at 128, run.py:83; v5e peaks at
+    # 64/96), then repeat the winner and take the MEDIAN — single tunnel
+    # timings drift ±5% (BENCH_r02 recorded e2e above the bare step)
+    result = measure_jax_teacher(batch_size=64)
+    result96 = measure_jax_teacher(batch_size=96, n_steps=8)
     result128 = measure_jax_teacher(batch_size=128, n_steps=6)
-    best = max((result, result128),
-               key=lambda r: r["samples_per_sec_per_chip"])
+    sweep = (result, result96, result128)
+    best = max(sweep, key=lambda r: r["samples_per_sec_per_chip"])
+    repeats = [best["samples_per_sec_per_chip"]]
+    for _ in range(2):
+        repeats.append(measure_jax_teacher(
+            batch_size=best["batch_size"],
+            n_steps=10)["samples_per_sec_per_chip"])
+    best = dict(best)
+    best["samples_per_sec_per_chip"] = float(np.median(repeats))
+    best["samples_per_sec"] = best["samples_per_sec_per_chip"] * \
+        best["n_chips"]
+    best["mfu"] = best["mfu"] * best["samples_per_sec_per_chip"] / repeats[0]
     try:
         e2e_hbm = measure_e2e_image_pipeline("hbm")
         e2e_u8 = measure_e2e_image_pipeline("u8cache")
+        e2e_mm = measure_e2e_image_pipeline("u8memmap")
         e2e_jpeg = measure_e2e_image_pipeline("jpeg", n_steps=6)
     except Exception as e:   # keep the headline even if the host path trips
-        e2e_hbm = e2e_u8 = e2e_jpeg = {"error": str(e)}
+        e2e_hbm = e2e_u8 = e2e_mm = e2e_jpeg = {"error": str(e)}
     try:
         infer = measure_teacher_inference()
     except Exception as e:
@@ -486,12 +518,16 @@ def main():
             "total_samples_per_sec": round(best["samples_per_sec"], 3),
             "samples_per_sec_per_chip_b64":
                 round(result["samples_per_sec_per_chip"], 3),
+            "samples_per_sec_per_chip_b96":
+                round(result96["samples_per_sec_per_chip"], 3),
             "samples_per_sec_per_chip_b128":
                 round(result128["samples_per_sec_per_chip"], 3),
+            "headline_repeats": [round(r, 2) for r in repeats],
             "mfu": round(best["mfu"], 4),
             "flops_per_sample": fps,
             "e2e_hbm_bank": e2e_hbm,
             "e2e_u8cache": e2e_u8,
+            "e2e_u8memmap": e2e_mm,
             "e2e_jpeg_decode_per_step": e2e_jpeg,
             "teacher_inference": infer,
             "ssl_pretrain_samples_per_sec": round(ssl_sps, 1),

@@ -139,14 +139,74 @@ def run(model, cfg, params, batch_stats, anchor_ds, labels, split: str,
         if m.sum() == 0 or np.isnan(thr["img"][k]):
             row["n"] = 0
         else:
-            row.update(analyze_label(
-                y,
-                (ev["img"][m, k] > thr["img"][k]) == y,
-                (ev["ts"][m, k] > thr["ts"][k]) == y,
-                (ev["fus"][m, k] > thr["fus"][k]) == y))
+            img_ok = (ev["img"][m, k] > thr["img"][k]) == y
+            ts_ok = (ev["ts"][m, k] > thr["ts"][k]) == y
+            fus_ok = (ev["fus"][m, k] > thr["fus"][k]) == y
+            row.update(analyze_label(y, img_ok, ts_ok, fus_ok))
+            # Venn over positives caught per branch (for positives,
+            # predicted-positive ⇔ correct; reference :305-341)
+            idx = np.where(m)[0]
+            row["venn_positives"] = venn_counts(
+                idx[y], img_ok[y], ts_ok[y], fus_ok[y])
         per_label.append(row)
     return {"labels": list(labels), "per_label": per_label,
             "thresholds": {m: t.tolist() for m, t in thr.items()}}
+
+
+def venn_counts(idx_pos: np.ndarray, img_ok: np.ndarray, ts_ok: np.ndarray,
+                fus_ok: np.ndarray) -> Dict[str, int]:
+    """Region counts of the 3-set Venn over POSITIVES caught per branch
+    (reference ``_plot_venn``, complementarity.py:305-341); keys are
+    img/ts/fus membership bitstrings."""
+    img = set(map(int, idx_pos[img_ok]))
+    ts = set(map(int, idx_pos[ts_ok]))
+    fus = set(map(int, idx_pos[fus_ok]))
+    return {
+        "100": len(img - ts - fus), "010": len(ts - img - fus),
+        "110": len((img & ts) - fus), "001": len(fus - img - ts),
+        "101": len((img & fus) - ts), "011": len((ts & fus) - img),
+        "111": len(img & ts & fus),
+        "none": len(set(map(int, idx_pos)) - img - ts - fus),
+    }
+
+
+# region label anchor points for three unit circles centered on an
+# equilateral triangle (the reference uses matplotlib_venn with equal-area
+# circles and overwrites region labels with counts — same layout, no
+# extra dependency)
+_VENN_CENTERS = {"A": (-0.45, 0.3), "B": (0.45, 0.3), "C": (0.0, -0.5)}
+_VENN_REGION_XY = {
+    "100": (-0.75, 0.45), "010": (0.75, 0.45), "001": (0.0, -0.85),
+    "110": (0.0, 0.55), "101": (-0.45, -0.25), "011": (0.45, -0.25),
+    "111": (0.0, 0.05),
+}
+
+
+def plot_venn(counts: Dict[str, int], title: str, out_png: str) -> None:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Circle
+    fig, ax = plt.subplots(figsize=(5, 5))
+    for (cx, cy), color, name in zip(
+            _VENN_CENTERS.values(), ("#E53935", "#1E88E5", "#43A047"),
+            ("image", "TS", "fusion")):
+        ax.add_patch(Circle((cx, cy), 0.9, alpha=0.25, color=color))
+        ax.annotate(name, (cx * 1.9, cy * 1.9 + 0.05), ha="center",
+                    fontsize=11, color=color)
+    for region, (x, y) in _VENN_REGION_XY.items():
+        ax.text(x, y, str(counts.get(region, 0)), ha="center", va="center",
+                fontsize=12)
+    ax.text(1.3, -1.3, f"missed by all: {counts.get('none', 0)}",
+            ha="right", fontsize=9)
+    ax.set_xlim(-1.7, 1.7)
+    ax.set_ylim(-1.7, 1.5)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    ax.set_title(title, fontsize=11)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120, bbox_inches="tight")
+    plt.close(fig)
 
 
 def format_table(result: dict) -> str:
@@ -186,6 +246,13 @@ def main(argv=None):
     out = os.path.join(args.out_dir, "complementarity.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2, default=float)
+    for r in result["per_label"]:
+        vc = r.get("venn_positives")
+        if vc and sum(vc.values()) > 0:
+            name = r["label"].replace("label_", "")
+            plot_venn(vc, f"{name} — positives caught "
+                          f"(n_pos={sum(vc.values())})",
+                      os.path.join(args.out_dir, f"venn_{name}.png"))
     print(f"saved → {out}")
     return result
 

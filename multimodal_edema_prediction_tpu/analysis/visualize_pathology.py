@@ -148,6 +148,61 @@ def plot_token_embedding(data, labels, out_dir, perplexity=15):
         plt.close(fig)
 
 
+def plot_query_token_projection(data, labels, out_dir):
+    """Reference ``viz_stage4_projection`` (:440-510): embed ALL N×K
+    pathology-query fusion tokens in 2-D, colored by pathology, raw and
+    per-sample-centered side by side — centering removes the sample-level
+    component so remaining structure must be pathology-specific (clusters =
+    the queries learned distinct readouts). UMAP when importable, else
+    t-SNE (the reference's own fallback)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    tokens = data["fus_tok"]                       # [N, K, d]
+    N, K, d = tokens.shape
+    if N * K < 12:
+        return
+    color_ids = np.tile(np.arange(K), N)
+    centered = tokens - tokens.mean(axis=1, keepdims=True)
+    flat_raw = tokens.reshape(N * K, d)
+    flat_cen = centered.reshape(N * K, d)
+
+    try:
+        import umap
+        reducer_name = "umap"
+
+        def _fit(flat):
+            return umap.UMAP(n_components=2,
+                             random_state=42).fit_transform(flat)
+    except ImportError:
+        from sklearn.manifold import TSNE
+        reducer_name = "tsne"
+
+        def _fit(flat):
+            perp = min(30, max(5, flat.shape[0] // 4 - 1))
+            return TSNE(n_components=2, random_state=42, init="pca",
+                        perplexity=perp).fit_transform(flat)
+
+    names = [l.replace("label_", "") for l in labels]
+    cmap = plt.get_cmap("tab10")
+    fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+    for ax, (flat, tag) in zip(axes, ((flat_raw, "raw"),
+                                      (flat_cen, "per-sample centered"))):
+        proj = _fit(flat)
+        for k in range(K):
+            m = color_ids == k
+            ax.scatter(proj[m, 0], proj[m, 1], s=10, alpha=0.5,
+                       color=cmap(k % 10), label=names[k])
+        ax.legend(fontsize=8, loc="best")
+        ax.set_title(f"Fusion tokens — {tag} ({reducer_name.upper()})")
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "stage4_projection.png"), dpi=120,
+                bbox_inches="tight")
+    plt.close(fig)
+
+
 def gap_summary(data, labels, out_dir):
     import matplotlib
     matplotlib.use("Agg")
@@ -195,6 +250,7 @@ def main(argv=None):
     plot_ts_attention_heatmap(data, labels, args.out_dir)
     plot_query_cosine(params, labels, args.out_dir)
     plot_token_embedding(data, labels, args.out_dir)
+    plot_query_token_projection(data, labels, args.out_dir)
     rows = gap_summary(data, labels, args.out_dir)
     print(f"figures + CSVs → {args.out_dir}")
     return rows

@@ -32,6 +32,13 @@ def main(argv=None):
                    choices=["none", "int8"],
                    help="int8: post-training-quantize the frozen CXR "
                         "branch's matmuls (2x MXU rate; ops/int8.py)")
+    p.add_argument("--flash_block_b", type=int, default=2,
+                   help="flash-attention batch block inside the fused step; "
+                        "2 is the measured production winner on v5e (+10%% "
+                        "samples/s, benchmarks/flash_step_probe.py) — the "
+                        "step factories raise XLA's scoped-VMEM limit to "
+                        "admit it. Set 1 to fall back to the default-VMEM "
+                        "config.")
     p.add_argument("--vit_weights", type=str, default="",
                    help="converted RAD-DINO checkpoint "
                         "(scripts/convert_rad_dino.py output) loaded into "
@@ -83,7 +90,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     dcfg, duett, tcfg = configs_from_args(args)
-    vit = ViTConfig(quant=args.vit_quant) if args.vit_size == "base" \
+    vit = ViTConfig(quant=args.vit_quant,
+                    flash_block_b=args.flash_block_b) \
+        if args.vit_size == "base" \
         else ViTConfig(image_size=56, patch_size=14, d_model=64, n_layers=2,
                        n_heads=2, d_feedforward=128, quant=args.vit_quant)
     if args.vit_quant != "none" and args.unfreeze_cxr:

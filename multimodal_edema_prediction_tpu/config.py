@@ -162,6 +162,13 @@ class ViTConfig(_ConfigBase):
     layerscale_init: float = 1.0
     dropout: float = 0.0
     use_flash_attention: bool = True   # Pallas flash kernel on TPU
+    # flash batch-block: 2 runs ~10% faster at the production shape but
+    # needs ~19 MiB of scoped VMEM — the train-step factories raise the
+    # compiler's scoped-VMEM limit automatically when this is >1
+    # (benchmarks/flash_step_probe.py: b96 314.5 → 345.3 samples/s/chip at
+    # block_b=2 + 48 MiB). Leave 1 for steps compiled outside those
+    # factories (the default 16 MiB limit rejects block_b=2).
+    flash_block_b: int = 1
     quant: str = "none"   # "int8": post-training-quantized matmuls (frozen
     #                        branch only — 2x MXU rate on v5e; ops/int8.py)
 

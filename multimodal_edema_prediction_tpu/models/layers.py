@@ -265,6 +265,8 @@ class MultiHeadAttention(nn.Module):
     qkv_bias: bool = True
     out_bias: bool = True
     use_flash: bool = False     # Pallas flash kernel for long sequences
+    flash_block_b: int = 0      # >1 needs the enclosing jit compiled with
+    #                              scoped_vmem_compiler_options (attention.py)
     quant: str = "none"         # "int8": quantized projections (frozen
     #                              branches only; ops/int8.py)
 
@@ -312,7 +314,8 @@ class MultiHeadAttention(nn.Module):
             v = proj_bhnk(kv_in, wv, bv)
             from ..ops.attention import flash_mha
             o = flash_mha(q, k, v, sm_scale=dh ** -0.5,
-                          q_valid=valid_len, kv_valid=valid_len)
+                          q_valid=valid_len, kv_valid=valid_len,
+                          block_b=self.flash_block_b)
             if self.quant == "int8":
                 return int8_out_bhnk(
                     o, wo.reshape(H, dh, d_model),

@@ -51,6 +51,7 @@ class DinoBlock(nn.Module):
         h = MultiHeadAttention(cfg.n_heads, cfg.d_model // cfg.n_heads,
                                cfg.dropout, qkv_bias=True,
                                use_flash=cfg.use_flash_attention,
+                               flash_block_b=cfg.flash_block_b,
                                quant=cfg.quant,
                                name="attn")(h, h, train=train,
                                             valid_len=self.valid_len

@@ -23,12 +23,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# scoped-VMEM budget that admits flash block_b=2 inside the fused teacher
+# step; 48 MiB measured fastest (benchmarks/flash_step_probe.py sweep:
+# 24 MiB → 326, 48 MiB → 345, 64 MiB → 336 samples/s/chip at b96)
+SCOPED_VMEM_KIB = 49152
+
+
+def scoped_vmem_compiler_options(flash_block_b: int):
+    """Compiler options for a jit that traces ``flash_mha`` with
+    ``block_b > 1`` (its VMEM working set exceeds the default 16 MiB scoped
+    limit). None on non-TPU backends and for the default block_b=1 —
+    ``jax.jit(compiler_options=None)`` is a no-op."""
+    if flash_block_b <= 1 or jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)}
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_size",
-                                              "q_valid", "kv_valid"))
+                                              "q_valid", "kv_valid",
+                                              "block_b"))
 def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               sm_scale: float = 1.0, block_size: int = 128,
               q_valid: Optional[int] = None,
-              kv_valid: Optional[int] = None) -> jnp.ndarray:
+              kv_valid: Optional[int] = None,
+              block_b: int = 0) -> jnp.ndarray:
     """[B, H, N, D] self/cross attention via the Pallas TPU flash kernel.
 
     Pads N up to a multiple of ``block_size`` (lane-width 128 by default —
@@ -72,11 +90,15 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qp, kp, vp = pad_to(q, Nq_p), pad_to(k, Nk_p), pad_to(v, Nk_p)
     seg_q = (jnp.arange(Nq_p) < nq_true).astype(jnp.int32)[None].repeat(B, 0)
     seg_kv = (jnp.arange(Nk_p) < nk_true).astype(jnp.int32)[None].repeat(B, 0)
-    # full-length q/k blocks with block_b=1: the fastest configuration that
-    # fits the 16 MiB scoped-VMEM limit inside the full fused train step
-    # (block_b=2 is ~6% faster standalone but needs 18.8 MiB and fails to
-    # compile in-step)
-    bb = 1
+    # full-length q/k blocks. block_b=1 is the fastest configuration that
+    # fits the default 16 MiB scoped-VMEM limit; block_b=2 runs ~10% faster
+    # at the production shape but requires the enclosing step to be compiled
+    # with a raised ``xla_tpu_scoped_vmem_limit_kib`` (the engine's step
+    # factories do this automatically when ViTConfig.flash_block_b > 1 —
+    # see ops.attention.scoped_vmem_compiler_options). Resolution order:
+    # explicit arg > MMEDEMA_FLASH_BLOCK_B env (probes) > 1.
+    import os as _os
+    bb = block_b or int(_os.environ.get("MMEDEMA_FLASH_BLOCK_B", "1"))
     bq = min(Nq_p, 2048)
     if Nq_p % bq:
         bq = 128

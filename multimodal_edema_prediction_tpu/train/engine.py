@@ -17,7 +17,21 @@ from ..config import DuettConfig, TrainConfig
 from ..data.pipeline import gather_windows
 from ..models.duett import feats_to_input, pretrain_prep_batch
 from ..ops import losses as L
+from ..ops.attention import scoped_vmem_compiler_options
 from .state import TrainState
+
+
+def _jit_opts(model) -> dict:
+    """jit kwargs for steps that trace a ViT flash kernel.
+
+    ``ViTConfig.flash_block_b > 1`` needs ~19 MiB of scoped VMEM — over
+    XLA's default 16 MiB limit — so any step that traces it must be
+    compiled with a raised ``xla_tpu_scoped_vmem_limit_kib``
+    (ops/attention.py::scoped_vmem_compiler_options; measured +10%
+    samples/s at the production shape, benchmarks/flash_step_probe.py)."""
+    vit = getattr(getattr(model, "cfg", None), "vit", None)
+    bb = getattr(vit, "flash_block_b", 1) if vit is not None else 1
+    return {"compiler_options": scoped_vmem_compiler_options(bb)}
 
 
 def _prep_inputs(grid, static, batch, n_timesteps, dtype, rng=None,
@@ -148,7 +162,7 @@ def make_teacher_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
     lw = jnp.asarray(label_weights, jnp.float32)
     pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,), **_jit_opts(model))
     def step(state: TrainState, grid, static, batch, rng):
         r_aug, r_drop = jax.random.split(rng)
         train_flag = not lp_mode
@@ -208,7 +222,7 @@ def make_teacher_pathology_step(model, cfg: TrainConfig,
     lw = jnp.asarray(label_weights, jnp.float32)
     pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,), **_jit_opts(model))
     def step(state: TrainState, grid, static, batch, rng):
         r_aug, r_drop = jax.random.split(rng)
         x_in, x_static, times = _prep_inputs(
@@ -239,7 +253,7 @@ def make_teacher_pathology_step(model, cfg: TrainConfig,
 
 def make_teacher_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
                       image_source: Callable = default_image_source):
-    @jax.jit
+    @partial(jax.jit, **_jit_opts(model))
     def step(params, batch_stats, grid, static, batch):
         x_in, x_static, times = _prep_inputs(
             grid, static, batch, n_timesteps, dtype)
@@ -259,7 +273,7 @@ def make_teacher_legacy_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
                              image_source: Callable = default_image_source):
     """'legacy'-mode teacher step: main BCE (+ aux CXR-head BCE)
     (training_duett/engine.py:42-73)."""
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,), **_jit_opts(model))
     def step(state: TrainState, grid, static, batch, rng):
         r_aug, r_drop = jax.random.split(rng)
         x_in, x_static, times = _prep_inputs(
@@ -290,7 +304,7 @@ def make_teacher_legacy_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
 def make_teacher_pathology_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
                                 image_source: Callable = default_image_source):
     """'single'-mode eval: stage2/stage4 logits."""
-    @jax.jit
+    @partial(jax.jit, **_jit_opts(model))
     def step(params, batch_stats, grid, static, batch):
         x_in, x_static, times = _prep_inputs(
             grid, static, batch, n_timesteps, dtype)
@@ -308,7 +322,7 @@ def make_teacher_eval_from_windows(model, dtype=jnp.bfloat16,
                                    return_attn: bool = False):
     """Teacher eval on explicit [B,T,2V] windows (analysis counterfactuals
     transform the windows on host before calling)."""
-    @jax.jit
+    @partial(jax.jit, **_jit_opts(model))
     def step(params, batch_stats, x_ts, x_static, batch):
         x_in, x_static2 = feats_to_input(None, x_ts.astype(dtype),
                                          x_static.astype(dtype))
@@ -334,7 +348,7 @@ def make_kd_step(student_model, teacher_model, cfg: TrainConfig,
                  duett_cfg: DuettConfig, n_timesteps: int,
                  dtype=jnp.bfloat16,
                  image_source: Callable = default_image_source):
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,), **_jit_opts(teacher_model))
     def step(state: TrainState, teacher_params, teacher_stats, grid, static,
              batch, rng):
         r_aug, r_drop = jax.random.split(rng)

@@ -110,6 +110,22 @@ def run_recipe(kind: str = "teacher", workdir: str = None) -> dict:
                             prefetch_depth=2)
         return _result(res)
 
+    if kind == "teacher_orbax":
+        # pod-scale state backend: orbax save/commit of replicated global
+        # jax.Arrays is a COLLECTIVE — FullStateResumer.save must run on
+        # every process (checkpoint.py:194-216); a process-0 gate would
+        # deadlock this recipe at the first epoch save (ADVICE r2, medium).
+        tcfg, cfg = _tiny_teacher_cfgs()
+        _, _, anchor_ds = _cohort()
+        res = train_teacher(anchor_ds, tcfg, cfg,
+                            os.path.join(workdir, "teacher_orbax"), labels,
+                            prefetch_depth=2, save_full_state=True,
+                            state_backend="orbax")
+        out = _result(res)
+        out["orbax_state_saved"] = os.path.isdir(
+            os.path.join(workdir, "teacher_orbax", "orbax_state"))
+        return out
+
     if kind == "ssl":
         from multimodal_edema_prediction_tpu.config import TrainConfig
         from multimodal_edema_prediction_tpu.data.sliding import \

@@ -71,6 +71,12 @@ def test_complementarity(teacher_ckpt, tmp_path):
         cells = (r["both_correct"] + r["image_only_correct"]
                  + r["ts_only_correct"] + r["both_wrong"])
         assert cells == r["n"]
+        # Venn region counts decompose the positives exactly
+        vc = r["venn_positives"]
+        assert sum(vc.values()) == int(round(r["n"] * r["pos_frac"]))
+    # Venn figures emitted for labels with positives (reference :305-341)
+    import glob
+    assert glob.glob(str(tmp_path / "venn_*.png"))
 
 
 @pytest.mark.slow

@@ -76,7 +76,8 @@ def test_visualize_pathology_artifacts(teacher_ckpt, tmp_path):
         visualize_pathology as V
     V.main(_flags(teacher_ckpt, str(tmp_path), ["--max_batches", "3"]))
     for fname in ("ts_attention_heatmap.png", "query_cosine.png",
-                  "gap_summary.png", "gap_summary.csv", "query_cosine.csv"):
+                  "gap_summary.png", "gap_summary.csv", "query_cosine.csv",
+                  "stage4_projection.png"):
         assert os.path.exists(tmp_path / fname), fname
 
 
@@ -135,6 +136,18 @@ def test_cxr_head_pipeline_and_why_multimodal(tmp_path):
     assert r["G0_all"]["n"] == (r["G1_non_icu"]["n"]
                                 + r["G2_icu_unanchored"]["n"]
                                 + r["G3_icu_anchor"]["n"])
+    # reference-parity artifacts (analysis/why_we_need_multimodal.py:295-416)
+    for fname in ("icu_hardness_summary.json", "icu_hardness_table_main.csv",
+                  "icu_hardness_table_7label.csv", "icu_hardness_macro.png",
+                  "icu_hardness_per_label_main.png",
+                  "icu_hardness_per_label_7label.png"):
+        assert os.path.exists(tmp_path / fname), fname
+    import csv as _csv
+    with open(tmp_path / "icu_hardness_table_7label.csv") as f:
+        rows = list(_csv.DictReader(f))
+    assert {r_["group"] for r_ in rows} == {
+        "G0_all", "G1_non_icu", "G2_icu_unanchored", "G3_icu_anchor"}
+    assert any(r_["label"] == "MACRO" for r_ in rows)
 
 
 def test_offset_correction_null_wins_on_noise():

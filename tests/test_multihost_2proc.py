@@ -115,6 +115,19 @@ def test_two_process_teacher_perhost_images_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_orbax_state_backend(tmp_path):
+    """The pod-scale state backend under real multi-process execution
+    (ADVICE r2, medium): orbax save of replicated global arrays is a
+    collective across processes — both workers call ``resumer.save`` every
+    epoch into the SHARED ckpt dir. A process-0 gate would deadlock here at
+    the first epoch save; equivalence vs single-process must still hold."""
+    r0, r1 = _run_two_proc(tmp_path, "teacher_orbax")
+    single = _run_single(tmp_path, "teacher_orbax")
+    _assert_equivalent("teacher_orbax", r0, r1, single, "train_total")
+    assert r0["orbax_state_saved"] and r1["orbax_state_saved"]
+
+
+@pytest.mark.slow
 def test_two_process_ssl_matches_single_process(tmp_path):
     r0, r1 = _run_two_proc(tmp_path, "ssl")
     single = _run_single(tmp_path, "ssl")

