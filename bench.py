@@ -313,6 +313,90 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
             "host_threads": n_host_threads}
 
 
+def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
+                               warmup: int = 3,
+                               image_bank_size: int = 32) -> dict:
+    """Encode-once tier (data/features.py): the frozen ViT's tokens are
+    cached per image, so the train step is DuETT + perceiver + bwd only.
+    This is the sustained rate of teacher epochs ≥ 1 under
+    ``--cxr_feature_cache`` (the ViT runs once per unique image, amortized
+    across the whole run)."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_edema_prediction_tpu.config import (TeacherConfig,
+                                                        TrainConfig,
+                                                        ViTConfig)
+    from multimodal_edema_prediction_tpu.data import features as F
+    from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
+    from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
+    from multimodal_edema_prediction_tpu.train import engine
+    from multimodal_edema_prediction_tpu.train.optim import make_optimizer
+    from multimodal_edema_prediction_tpu.train.state import TrainState
+    from multimodal_edema_prediction_tpu.train.teacher_loop import (
+        init_teacher, teacher_frozen_prefixes)
+
+    n_chips = len(jax.devices())
+    mesh = meshlib.create_mesh(n_chips, 1)
+    cfg = TeacherConfig(vit=ViTConfig(flash_block_b=2))
+    tcfg = TrainConfig(batch_size=batch_size)
+    T, V, D = cfg.duett.n_timesteps, cfg.duett.n_variables, cfg.duett.d_static
+    K = cfg.perceiver.n_pathologies
+    model = TeacherModel(cfg)
+    variables = init_teacher(model, cfg, batch_size, T, jax.random.key(0))
+    tx = make_optimizer(tcfg.optim, total_steps=1000,
+                        frozen_prefixes=teacher_frozen_prefixes(cfg))
+    rng = np.random.default_rng(0)
+    n_stays, L = 64, 48
+    S = cfg.vit.image_size
+    with mesh:
+        rep = meshlib.replicated(mesh)
+        params = meshlib.shard_params(variables["params"], mesh)
+        state = TrainState.create(params, variables["batch_stats"], tx)
+        pix = rng.random((image_bank_size, S, S, 3)).astype(np.float32)
+        encode = F.encode_fn_for_teacher(model, params)
+        t_build = time.time()
+        bank = F.CXRFeatureBank.build(
+            encode, lambda ids: pix[np.asarray(ids)],
+            np.arange(image_bank_size), chunk=16,
+            device_put=lambda a: jax.device_put(a, rep))
+        build_s = time.time() - t_build
+        step = engine.make_teacher_step(
+            model, tcfg, cfg.duett, T, np.ones(K, np.float32),
+            dtype=jnp.bfloat16, feature_source=bank.feature_source())
+        grid = jax.device_put(
+            rng.normal(size=(n_stays, L, 2 * V)).astype(np.float32), rep)
+        static = jax.device_put(
+            rng.normal(size=(n_stays, D)).astype(np.float32), rep)
+        batch = meshlib.shard_batch({
+            "stay_rows": rng.integers(0, n_stays, batch_size).astype(np.int32),
+            "slot_idx": np.full(batch_size, T, np.int32),
+            "image_ids": np.arange(batch_size, dtype=np.int32) % image_bank_size,
+            "y": rng.integers(0, 2, batch_size).astype(np.float32),
+            "y_multi": rng.integers(0, 2, (batch_size, K)).astype(np.float32),
+            "y_multi_mask": np.ones((batch_size, K), np.float32),
+            "bin_ends": np.broadcast_to(
+                (np.arange(1, T + 1) / 24.0).astype(np.float32),
+                (batch_size, T)).copy(),
+        }, mesh)
+        key = jax.random.key(1)
+        for _ in range(warmup):
+            key, sub = jax.random.split(key)
+            state, out = step(state, grid, static, batch, sub)
+        _sync(out["total"])
+        t0 = time.time()
+        for _ in range(n_steps):
+            key, sub = jax.random.split(key)
+            state, out = step(state, grid, static, batch, sub)
+        _sync(out["total"])
+        dt = time.time() - t0
+    sps = batch_size * n_steps / dt
+    return {"samples_per_sec_per_chip": sps / n_chips,
+            "batch_size": batch_size,
+            "bank_build_s_for_32_images": round(build_s, 2),
+            "note": "teacher train step with the frozen ViT's tokens "
+                    "cached (encode-once tier); epochs>=1 sustained rate"}
+
+
 def measure_teacher_inference(batch_size: int = 64, n_steps: int = 10,
                               warmup: int = 3,
                               image_bank_size: int = 32) -> dict:
@@ -497,6 +581,10 @@ def main():
         infer = measure_teacher_inference()
     except Exception as e:
         infer = {"error": str(e)}
+    try:
+        cached = measure_jax_teacher_cached()
+    except Exception as e:
+        cached = {"error": str(e)}
     ssl_sps = measure_ssl_throughput()
     rows_per_sec = measure_preprocess_rows_per_sec()
     baseline = get_torch_baseline()
@@ -530,6 +618,7 @@ def main():
             "e2e_u8memmap": e2e_mm,
             "e2e_jpeg_decode_per_step": e2e_jpeg,
             "teacher_inference": infer,
+            "teacher_cached_features": cached,
             "ssl_pretrain_samples_per_sec": round(ssl_sps, 1),
             "preprocess_rows_per_sec": round(rows_per_sec, 1),
             "jpeg_decode_imgs_per_sec_per_core":

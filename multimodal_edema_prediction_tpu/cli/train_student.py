@@ -29,6 +29,13 @@ def main(argv=None):
     p.add_argument("--save_state", action="store_true", default=True)
     p.add_argument("--no_save_state", dest="save_state",
                    action="store_false")
+    p.add_argument("--cxr_feature_cache", type=str, default="none",
+                   choices=["none", "auto", "hbm", "host"],
+                   help="encode-once tier: the KD teacher is frozen, so "
+                        "cache its ViT (CLS, patch) tokens per unique image "
+                        "and drop the teacher's ViT forward from every KD "
+                        "step")
+    p.add_argument("--cxr_feature_store_path", type=str, default="")
     args = p.parse_args(argv)
 
     dcfg, duett, tcfg = configs_from_args(args)
@@ -45,7 +52,10 @@ def main(argv=None):
                            ssl_backbone_ckpt=args.duett_ckpt or None,
                            auto_resume=bool(args.resume_dir),
                            save_full_state=args.save_state,
-                           state_backend=args.state_backend)
+                           state_backend=args.state_backend,
+                           feature_cache=args.cxr_feature_cache,
+                           feature_store_path=(args.cxr_feature_store_path
+                                               or None))
     log.info(f"best val AUROC: {res.best_metric:.4f}  ckpt: {res.best_path}")
     log.finish()
     return res

@@ -67,6 +67,19 @@ def main(argv=None):
                         "host image work), 'stream' decodes per step on the "
                         "host, 'auto' picks by the HBM budget")
     p.add_argument("--hbm_image_budget_gb", type=float, default=8.0)
+    p.add_argument("--cxr_feature_cache", type=str, default="none",
+                   choices=["none", "auto", "hbm", "host"],
+                   help="encode-once tier: with the CXR branch frozen "
+                        "(default), cache the ViT's (CLS, patch) tokens per "
+                        "unique image and drop the ViT forward (~90%% of "
+                        "the step) from every subsequent step/epoch; 'auto' "
+                        "picks a device bank if it fits the feature budget, "
+                        "else a host store")
+    p.add_argument("--cxr_feature_store_path", type=str, default="",
+                   help="persist the encode-once token store as a reusable "
+                        "disk memmap at this path (catalog-scale feature "
+                        "sets; reopened instantly by later runs)")
+    p.add_argument("--hbm_feature_budget_gb", type=float, default=8.0)
     p.add_argument("--u8_store_path", type=str, default="",
                    help="catalog-scale streaming: decode all images ONCE "
                         "into a disk-resident uint8 memmap at this path and "
@@ -153,6 +166,9 @@ def main(argv=None):
         image_bank=args.image_bank,
         u8_store_path=args.u8_store_path or None,
         hbm_image_budget_gb=args.hbm_image_budget_gb,
+        feature_cache=args.cxr_feature_cache,
+        feature_store_path=args.cxr_feature_store_path or None,
+        hbm_feature_budget_gb=args.hbm_feature_budget_gb,
         auto_resume=bool(args.resume_dir), save_full_state=args.save_state,
         state_backend=args.state_backend)
     log.info(f"best val macro fusion AUROC: {res.best_metric:.4f}  "

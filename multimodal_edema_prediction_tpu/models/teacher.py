@@ -52,9 +52,10 @@ class TeacherModel(nn.Module):
 
     @nn.compact
     def __call__(self, x_in: jnp.ndarray, x_static: jnp.ndarray,
-                 times: jnp.ndarray, pixel_values: jnp.ndarray,
+                 times: jnp.ndarray, pixel_values: Optional[jnp.ndarray],
                  train: bool = False, return_attn: bool = False,
-                 keep_idx: Optional[jnp.ndarray] = None) -> dict:
+                 keep_idx: Optional[jnp.ndarray] = None,
+                 cxr_feats: Optional[tuple] = None) -> dict:
         if keep_idx is None and self.static_keep_idx is not None:
             keep_idx = jnp.asarray(self.static_keep_idx, jnp.int32)
         cfg = self.cfg
@@ -66,8 +67,19 @@ class TeacherModel(nn.Module):
         if cfg.freeze_duett:
             ts_tokens = jax.lax.stop_gradient(ts_tokens)
 
-        cls, patches = DinoViT(cfg.vit, name="cxr")(
-            pixel_values, train=cxr_train)
+        if cxr_feats is not None:
+            # encode-once tier (data/features.py): the frozen ViT's (CLS,
+            # patch) tokens were cached per image; skip the encoder entirely.
+            # Only legal when the branch cannot train — the cache holds
+            # constants, so a trainable CXR branch would silently never
+            # update (eval-mode forwards, e.g. the KD teacher, are fine
+            # regardless of the freeze flag).
+            assert cfg.freeze_cxr or not train, \
+                "cxr_feats in a train step requires freeze_cxr=True"
+            cls, patches = cxr_feats
+        else:
+            cls, patches = DinoViT(cfg.vit, name="cxr")(
+                pixel_values, train=cxr_train)
         if cfg.freeze_cxr:
             cls = jax.lax.stop_gradient(cls)
             patches = jax.lax.stop_gradient(patches)

@@ -146,18 +146,32 @@ def default_image_source(batch):
     return batch["pixel_values"]
 
 
+def _cxr_inputs(batch, image_source, feature_source, dtype):
+    """(pixels, cxr_feats) for the teacher forward: the encode-once tier
+    (``feature_source``, data/features.py) replaces the frozen-ViT forward
+    with a cached-token gather; otherwise pixels flow to the in-step ViT."""
+    if feature_source is None:
+        return image_source(batch).astype(dtype), None
+    cls, patches = feature_source(batch)
+    return None, (cls.astype(dtype), patches.astype(dtype))
+
+
 def make_teacher_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
                       n_timesteps: int, label_weights,
                       pos_weight=None, dtype=jnp.bfloat16,
                       image_source: Callable = default_image_source,
                       lp_mode: bool = False, lp_beta_l2: float = 0.0,
-                      lp_corr_l2: float = 0.0):
+                      lp_corr_l2: float = 0.0,
+                      feature_source: Optional[Callable] = None):
     """One fused teacher step: window gather + image fetch + fwd/bwd + update.
 
     ``lp_mode`` reproduces the correction-only linear-probing step
     (engine.py:196-264): the optimizer must already mask everything except
     correction_head+beta; this flag adds the L2 regularizers and turns
     dropout off everywhere (teacher.eval() semantics).
+
+    ``feature_source`` (encode-once tier): batch → cached frozen-ViT
+    (cls, patches); the step skips the ViT forward entirely.
     """
     lw = jnp.asarray(label_weights, jnp.float32)
     pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
@@ -169,13 +183,15 @@ def make_teacher_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
         x_in, x_static, times = _prep_inputs(
             grid, static, batch, n_timesteps, dtype, r_aug,
             duett_cfg.aug_noise, duett_cfg.aug_mask, train=train_flag)
-        pixels = image_source(batch).astype(dtype)
+        pixels, feats = _cxr_inputs(batch, image_source, feature_source,
+                                    dtype)
 
         def loss_fn(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x_in, x_static, times, pixels, train=train_flag,
-                rngs={"dropout": r_drop}, mutable=["batch_stats"])
+                rngs={"dropout": r_drop}, mutable=["batch_stats"],
+                cxr_feats=feats)
             losses = L.dual_pathology_loss(
                 out["img_logits"], out["ts_logits"], out["fusion_logits"],
                 batch["y_multi"], batch["y_multi_mask"], lw, pw,
@@ -216,7 +232,8 @@ def make_teacher_pathology_step(model, cfg: TrainConfig,
                                 dtype=jnp.bfloat16,
                                 alpha_stage2: float = 1.0,
                                 alpha_stage4: float = 0.5,
-                                image_source: Callable = default_image_source):
+                                image_source: Callable = default_image_source,
+                                feature_source: Optional[Callable] = None):
     """'single'-mode teacher step: stage2 + stage4 masked multi-label BCE
     (training_duett/engine.py:94-129)."""
     lw = jnp.asarray(label_weights, jnp.float32)
@@ -228,13 +245,15 @@ def make_teacher_pathology_step(model, cfg: TrainConfig,
         x_in, x_static, times = _prep_inputs(
             grid, static, batch, n_timesteps, dtype, r_aug,
             duett_cfg.aug_noise, duett_cfg.aug_mask, train=True)
-        pixels = image_source(batch).astype(dtype)
+        pixels, feats = _cxr_inputs(batch, image_source, feature_source,
+                                    dtype)
 
         def loss_fn(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x_in, x_static, times, pixels, train=True,
-                rngs={"dropout": r_drop}, mutable=["batch_stats"])
+                rngs={"dropout": r_drop}, mutable=["batch_stats"],
+                cxr_feats=feats)
             losses = L.pathology_multilabel_loss(
                 out["stage2_logits"], out["stage4_logits"],
                 batch["y_multi"], batch["y_multi_mask"], lw, pw,
@@ -252,14 +271,17 @@ def make_teacher_pathology_step(model, cfg: TrainConfig,
 
 
 def make_teacher_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
-                      image_source: Callable = default_image_source):
+                      image_source: Callable = default_image_source,
+                      feature_source: Optional[Callable] = None):
     @partial(jax.jit, **_jit_opts(model))
     def step(params, batch_stats, grid, static, batch):
         x_in, x_static, times = _prep_inputs(
             grid, static, batch, n_timesteps, dtype)
-        pixels = image_source(batch).astype(dtype)
+        pixels, feats = _cxr_inputs(batch, image_source, feature_source,
+                                    dtype)
         out = model.apply({"params": params, "batch_stats": batch_stats},
-                          x_in, x_static, times, pixels, train=False)
+                          x_in, x_static, times, pixels, train=False,
+                          cxr_feats=feats)
         return {k: out[k].astype(jnp.float32)
                 for k in ("main_logit", "img_logits", "ts_logits",
                           "fusion_logits", "scaled_correction")}
@@ -302,15 +324,18 @@ def make_teacher_legacy_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
 
 
 def make_teacher_pathology_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
-                                image_source: Callable = default_image_source):
+                                image_source: Callable = default_image_source,
+                                feature_source: Optional[Callable] = None):
     """'single'-mode eval: stage2/stage4 logits."""
     @partial(jax.jit, **_jit_opts(model))
     def step(params, batch_stats, grid, static, batch):
         x_in, x_static, times = _prep_inputs(
             grid, static, batch, n_timesteps, dtype)
-        pixels = image_source(batch).astype(dtype)
+        pixels, feats = _cxr_inputs(batch, image_source, feature_source,
+                                    dtype)
         out = model.apply({"params": params, "batch_stats": batch_stats},
-                          x_in, x_static, times, pixels, train=False)
+                          x_in, x_static, times, pixels, train=False,
+                          cxr_feats=feats)
         return {k: out[k].astype(jnp.float32)
                 for k in ("main_logit", "stage2_logits", "stage4_logits")}
 
@@ -347,7 +372,8 @@ def make_teacher_eval_from_windows(model, dtype=jnp.bfloat16,
 def make_kd_step(student_model, teacher_model, cfg: TrainConfig,
                  duett_cfg: DuettConfig, n_timesteps: int,
                  dtype=jnp.bfloat16,
-                 image_source: Callable = default_image_source):
+                 image_source: Callable = default_image_source,
+                 feature_source: Optional[Callable] = None):
     @partial(jax.jit, donate_argnums=(0,), **_jit_opts(teacher_model))
     def step(state: TrainState, teacher_params, teacher_stats, grid, static,
              batch, rng):
@@ -355,10 +381,11 @@ def make_kd_step(student_model, teacher_model, cfg: TrainConfig,
         # teacher sees un-augmented inputs (its loader has no aug)
         x_in_t, x_static_t, times = _prep_inputs(
             grid, static, batch, n_timesteps, dtype)
-        pixels = image_source(batch).astype(dtype)
+        pixels, feats = _cxr_inputs(batch, image_source, feature_source,
+                                    dtype)
         t_out = teacher_model.apply(
             {"params": teacher_params, "batch_stats": teacher_stats},
-            x_in_t, x_static_t, times, pixels, train=False)
+            x_in_t, x_static_t, times, pixels, train=False, cxr_feats=feats)
         z_t = jax.lax.stop_gradient(t_out["main_logit"])
 
         x_in, x_static, _ = _prep_inputs(

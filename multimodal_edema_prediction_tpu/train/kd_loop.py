@@ -50,9 +50,17 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                      auto_resume: bool = False,
                      save_full_state: Optional[bool] = None,
                      state_backend: str = "msgpack",
-                     stop_after_epochs: Optional[int] = None) -> TrainResult:
+                     stop_after_epochs: Optional[int] = None,
+                     feature_cache: str = "none",
+                     feature_store_path: Optional[str] = None,
+                     hbm_feature_budget_gb: float = 8.0) -> TrainResult:
     """Resume semantics identical to ``train_teacher`` (FullStateResumer:
-    bit-exact epoch-boundary restore)."""
+    bit-exact epoch-boundary restore).
+
+    ``feature_cache`` (encode-once tier, data/features.py): the KD teacher
+    is entirely frozen, so its ViT forward — the dominant cost of the KD
+    step — is a constant per image; ``auto``/``hbm``/``host`` cache the
+    (CLS, patch) tokens once and every KD step skips the ViT."""
     log = logger or Logger("student_kd")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
     multi = mh.process_count() > 1
@@ -66,6 +74,64 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
              f"mode={teacher_cfg.perceiver_type})")
     image_source = image_source or make_synthetic_image_source(
         teacher_cfg.vit.image_size)
+
+    # encode-once frozen-ViT tier: the KD teacher never trains, so cache its
+    # (CLS, patch) tokens per unique image and drop the ViT from the step
+    feature_source = None
+    if feature_cache != "none":
+        if feature_cache not in ("auto", "hbm", "host"):
+            raise ValueError(f"unknown feature_cache mode {feature_cache!r}")
+        from ..data import features as F
+        all_ids = np.unique(dataset.anchor["image_ids"]).astype(np.int64)
+        order = np.argsort(dataset.anchor["image_ids"], kind="stable")
+        srt = dataset.anchor["image_ids"][order]
+        first = order[np.searchsorted(srt, all_ids)]
+        y_rep = np.asarray(dataset.anchor["y_multi"][first], np.float32)
+        base_hook, base_source = dataset.batch_hook, image_source
+
+        def pixels_for_ids(ids):
+            rows = np.searchsorted(all_ids, np.asarray(ids, np.int64))
+            b = {"image_ids": np.asarray(ids, np.int32),
+                 "y_multi": y_rep[rows]}
+            if base_hook is not None:
+                b = base_hook(b)
+            return np.asarray(engine.default_image_source(b)
+                              if ("pixel_u8" in b or "pixel_values" in b)
+                              else base_source(b), np.float32)
+
+        encode = F.encode_fn_for_teacher(teacher_model, t_params, dtype)
+        # store at the loop's compute precision (see teacher_loop)
+        fdt = np.float32 if dtype == jnp.float32 else None
+        n_patches = teacher_cfg.vit.n_patches
+        fb_bytes = F.CXRFeatureBank.nbytes(len(all_ids), n_patches,
+                                           teacher_cfg.d_img)
+        if not multi and (feature_cache == "hbm" or (
+                feature_cache == "auto"
+                and fb_bytes <= hbm_feature_budget_gb * 2 ** 30)):
+            fbank = F.CXRFeatureBank.build(
+                encode, pixels_for_ids, all_ids, out_dtype=fdt,
+                device_put=lambda a: jax.device_put(
+                    a, meshlib.replicated(mesh)))
+            dataset.batch_hook = fbank.host_fn()
+            feature_source = fbank.feature_source()
+            tier = "HBM token bank"
+        else:
+            own = all_ids
+            if multi:
+                P, pid = mh.process_count(), jax.process_index()
+                own = all_ids[all_ids % P == pid]
+                dataset.host_partition_count = P
+                if feature_store_path:
+                    feature_store_path = f"{feature_store_path}.host{pid}"
+            fstore = F.HostFeatureStore.build(encode, pixels_for_ids, own,
+                                              path=feature_store_path,
+                                              out_dtype=fdt)
+            dataset.batch_hook = fstore.host_fn()
+            feature_source = F.features_from_batch
+            tier = "host token store"
+        log.info(f"[features] encode-once {tier}: {len(all_ids)} images "
+                 f"({fb_bytes / 2**30:.2f} GiB bf16) — teacher ViT forward "
+                 f"eliminated from every KD step")
 
     student = StudentModel(student_cfg)
     V = student_cfg.duett.n_variables
@@ -110,7 +176,8 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
     with mesh:
         kd_step = engine.make_kd_step(student, teacher_model, cfg,
                                       student_cfg.duett, T, dtype,
-                                      image_source)
+                                      image_source,
+                                      feature_source=feature_source)
         eval_step = engine.make_supervised_ts_eval(student, T, dtype)
         grid = mh.replicate_to_mesh(dataset.grid, mesh)
         static = mh.replicate_to_mesh(dataset.static, mesh)

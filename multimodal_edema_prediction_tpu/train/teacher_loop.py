@@ -147,6 +147,9 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                   image_bank: str = "auto",
                   u8_store_path: Optional[str] = None,
                   hbm_image_budget_gb: float = 8.0,
+                  feature_cache: str = "none",
+                  feature_store_path: Optional[str] = None,
+                  hbm_feature_budget_gb: float = 8.0,
                   auto_resume: bool = False,
                   save_full_state: Optional[bool] = None,
                   state_backend: str = "msgpack",
@@ -162,7 +165,16 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
     ``stop_after_epochs``: graceful-preemption hook — end THIS invocation
     after N epochs (the schedule still spans ``cfg.epochs``); a later
     ``auto_resume=True`` invocation continues where it left off. For
-    chunked/preemptible schedulers and the resume tests."""
+    chunked/preemptible schedulers and the resume tests.
+
+    ``feature_cache`` (encode-once tier, data/features.py): with the CXR
+    branch frozen (the reference's default), encode every unique image ONCE
+    and train on cached (CLS, patch) tokens — the ViT forward (~90% of the
+    fused step) drops out of every subsequent step/epoch. Modes: ``none``,
+    ``auto`` (device bank if it fits ``hbm_feature_budget_gb``, else host),
+    ``hbm`` (device-resident), ``host`` (RAM, or a reusable disk memmap when
+    ``feature_store_path`` is given). Multi-process runs partition features
+    per host by ``image_id % P`` like the pixel tiers."""
     log = logger or Logger("teacher")
     mesh = mesh or meshlib.create_mesh(cfg.n_data, cfg.n_model)
     multi = mh.process_count() > 1
@@ -187,7 +199,21 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
     T = dataset.n_timesteps
     K = len(pathology_labels)
     lw = np.ones(K, np.float32)   # uniform per-pathology (trainer.py:390-391)
-    if jpeg_store is not None:
+    if feature_cache not in ("none", "auto", "hbm", "host"):
+        raise ValueError(f"unknown feature_cache mode {feature_cache!r}")
+    if feature_cache != "none" and not teacher_cfg.freeze_cxr:
+        raise ValueError(
+            "feature_cache requires freeze_cxr=True: cached ViT tokens are "
+            "constants — a trainable CXR branch would silently never update")
+    if jpeg_store is not None and feature_cache != "none":
+        # encode-once tier replaces the pixel tiers entirely: pixels are
+        # needed exactly once (feature build below), so stream-decode for
+        # the build and skip banks/stores.
+        from ..data.images import make_jpeg_host_fn
+        dataset.batch_hook = make_jpeg_host_fn(jpeg_store,
+                                               teacher_cfg.vit.image_size)
+        image_source = engine.default_image_source
+    elif jpeg_store is not None:
         # real-image path. Single-process preferred tier: decode every image
         # ONCE into a device-resident uint8 bank (zero per-step host image
         # work or H2D image bytes; normalization fuses into the step).
@@ -282,6 +308,78 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
     log.info(f"params: {param_count(params):,}  mode="
              f"{teacher_cfg.perceiver_type}  lp={lp_mode}")
 
+    # ---- encode-once frozen-ViT feature tier (data/features.py) -----------
+    # Built AFTER all param surgeries (LP restore, head load, --vit_weights)
+    # so tokens come from the exact frozen encoder this run trains against.
+    feature_source = None
+    if feature_cache != "none":
+        if teacher_cfg.perceiver_type == "legacy":
+            raise ValueError("feature_cache is not supported for the "
+                             "deprecated 'legacy' perceiver mode")
+        from ..data import features as F
+        all_ids = np.unique(dataset.anchor["image_ids"]).astype(np.int64)
+        order = np.argsort(dataset.anchor["image_ids"], kind="stable")
+        srt = dataset.anchor["image_ids"][order]
+        first = order[np.searchsorted(srt, all_ids)]
+        y_rep = np.asarray(dataset.anchor["y_multi"][first], np.float32)
+        base_hook, base_source = dataset.batch_hook, image_source
+
+        def pixels_for_ids(ids):
+            rows = np.searchsorted(all_ids, np.asarray(ids, np.int64))
+            b = {"image_ids": np.asarray(ids, np.int32),
+                 "y_multi": y_rep[rows]}
+            if base_hook is not None:
+                b = base_hook(b)
+            return np.asarray(base_source(b), np.float32)
+
+        encode = F.encode_fn_for_teacher(model, params, dtype)
+        # store at the loop's compute precision: bf16 storage is lossless
+        # for bf16 compute; f32 loops keep exactness
+        fdt = np.float32 if dtype == jnp.float32 else None
+        n_patches = teacher_cfg.vit.n_patches
+        t_fb = time.time()
+        if multi:
+            P, pid = mh.process_count(), jax.process_index()
+            own = all_ids[all_ids % P == pid]
+            dataset.host_partition_count = P
+            fstore = F.HostFeatureStore.build(
+                encode, pixels_for_ids, own,
+                path=(f"{feature_store_path}.host{pid}"
+                      if feature_store_path else None), out_dtype=fdt)
+            dataset.batch_hook = fstore.host_fn()
+            feature_source = F.features_from_batch
+            log.info(f"[features] per-host encode-once store: "
+                     f"{len(own)}/{len(all_ids)} images on host {pid}/{P} "
+                     f"({F.CXRFeatureBank.nbytes(len(own), n_patches, teacher_cfg.d_img) / 2**30:.2f}"
+                     f" GiB/host, {time.time() - t_fb:.1f}s build) — ViT "
+                     f"forward eliminated from every step")
+        else:
+            fb_bytes = F.CXRFeatureBank.nbytes(len(all_ids), n_patches,
+                                               teacher_cfg.d_img)
+            use_dev = feature_cache == "hbm" or (
+                feature_cache == "auto"
+                and fb_bytes <= hbm_feature_budget_gb * 2 ** 30)
+            if use_dev:
+                fbank = F.CXRFeatureBank.build(
+                    encode, pixels_for_ids, all_ids, out_dtype=fdt,
+                    device_put=lambda a: jax.device_put(
+                        a, meshlib.replicated(mesh)))
+                dataset.batch_hook = fbank.host_fn()
+                feature_source = fbank.feature_source()
+                tier = "HBM-resident token bank"
+            else:
+                fstore = F.HostFeatureStore.build(
+                    encode, pixels_for_ids, all_ids,
+                    path=feature_store_path, out_dtype=fdt)
+                dataset.batch_hook = fstore.host_fn()
+                feature_source = F.features_from_batch
+                tier = ("disk memmap token store" if feature_store_path
+                        else "host-RAM token store")
+            log.info(f"[features] encode-once {tier}: {len(all_ids)} images"
+                     f" ({fb_bytes / 2**30:.2f} GiB bf16, "
+                     f"{time.time() - t_fb:.1f}s build) — ViT forward "
+                     f"eliminated from every step")
+
     steps_per_epoch = dataset.split_size("train") // cfg.batch_size
     if cfg.limit_batches > 0:
         steps_per_epoch = min(steps_per_epoch, cfg.limit_batches)
@@ -321,9 +419,10 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
             train_step = engine.make_teacher_step(
                 model, cfg, teacher_cfg.duett, T, lw, None, dtype,
                 image_source, lp_mode=lp_mode, lp_beta_l2=lp_beta_l2,
-                lp_corr_l2=lp_corr_l2)
-            eval_step = engine.make_teacher_eval(model, T, dtype,
-                                                 image_source)
+                lp_corr_l2=lp_corr_l2, feature_source=feature_source)
+            eval_step = engine.make_teacher_eval(
+                model, T, dtype, image_source,
+                feature_source=feature_source)
             loss_keys = ("total", "img_total", "ts_total", "fus_total")
             if cfg.aux_residual_alpha > 0.0:
                 loss_keys += ("aux_residual",)
@@ -332,9 +431,10 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
         elif mode == "single":
             train_step = engine.make_teacher_pathology_step(
                 model, cfg, teacher_cfg.duett, T, lw, None, dtype,
-                image_source=image_source)
+                image_source=image_source, feature_source=feature_source)
             eval_step = engine.make_teacher_pathology_eval(
-                model, T, dtype, image_source)
+                model, T, dtype, image_source,
+                feature_source=feature_source)
             loss_keys = ("total", "stage2_total", "stage4_total")
         elif mode == "legacy":
             train_step = engine.make_teacher_legacy_step(
