@@ -315,12 +315,15 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
 
 def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
                                warmup: int = 3,
-                               image_bank_size: int = 32) -> dict:
+                               image_bank_size: int = 32,
+                               batch_sweep: tuple = ()) -> dict:
     """Encode-once tier (data/features.py): the frozen ViT's tokens are
     cached per image, so the train step is DuETT + perceiver + bwd only.
     This is the sustained rate of teacher epochs ≥ 1 under
     ``--cxr_feature_cache`` (the ViT runs once per unique image, amortized
-    across the whole run)."""
+    across the whole run). ``batch_sweep``: extra batch sizes measured with
+    the same bank/params (the small step favors bigger batches than the
+    ViT-bound pixel step does); the reported headline is the best."""
     import jax
     import jax.numpy as jnp
     from multimodal_edema_prediction_tpu.config import (TeacherConfig,
@@ -360,38 +363,47 @@ def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
             np.arange(image_bank_size), chunk=16,
             device_put=lambda a: jax.device_put(a, rep))
         build_s = time.time() - t_build
-        step = engine.make_teacher_step(
-            model, tcfg, cfg.duett, T, np.ones(K, np.float32),
-            dtype=jnp.bfloat16, feature_source=bank.feature_source())
         grid = jax.device_put(
             rng.normal(size=(n_stays, L, 2 * V)).astype(np.float32), rep)
         static = jax.device_put(
             rng.normal(size=(n_stays, D)).astype(np.float32), rep)
-        batch = meshlib.shard_batch({
-            "stay_rows": rng.integers(0, n_stays, batch_size).astype(np.int32),
-            "slot_idx": np.full(batch_size, T, np.int32),
-            "image_ids": np.arange(batch_size, dtype=np.int32) % image_bank_size,
-            "y": rng.integers(0, 2, batch_size).astype(np.float32),
-            "y_multi": rng.integers(0, 2, (batch_size, K)).astype(np.float32),
-            "y_multi_mask": np.ones((batch_size, K), np.float32),
-            "bin_ends": np.broadcast_to(
-                (np.arange(1, T + 1) / 24.0).astype(np.float32),
-                (batch_size, T)).copy(),
-        }, mesh)
         key = jax.random.key(1)
-        for _ in range(warmup):
-            key, sub = jax.random.split(key)
-            state, out = step(state, grid, static, batch, sub)
-        _sync(out["total"])
-        t0 = time.time()
-        for _ in range(n_steps):
-            key, sub = jax.random.split(key)
-            state, out = step(state, grid, static, batch, sub)
-        _sync(out["total"])
-        dt = time.time() - t0
-    sps = batch_size * n_steps / dt
-    return {"samples_per_sec_per_chip": sps / n_chips,
-            "batch_size": batch_size,
+        per_bs = {}
+        for bs in (batch_size,) + tuple(batch_sweep):
+            tcfg_bs = TrainConfig(batch_size=bs)
+            step = engine.make_teacher_step(
+                model, tcfg_bs, cfg.duett, T, np.ones(K, np.float32),
+                dtype=jnp.bfloat16, feature_source=bank.feature_source())
+            batch = meshlib.shard_batch({
+                "stay_rows": rng.integers(0, n_stays, bs).astype(np.int32),
+                "slot_idx": np.full(bs, T, np.int32),
+                "image_ids": np.arange(bs, dtype=np.int32) % image_bank_size,
+                "y": rng.integers(0, 2, bs).astype(np.float32),
+                "y_multi": rng.integers(0, 2, (bs, K)).astype(np.float32),
+                "y_multi_mask": np.ones((bs, K), np.float32),
+                "bin_ends": np.broadcast_to(
+                    (np.arange(1, T + 1) / 24.0).astype(np.float32),
+                    (bs, T)).copy(),
+            }, mesh)
+            # fresh state per sweep entry (steps donate their state)
+            st = TrainState.create(
+                jax.tree.map(jnp.array, state.params),
+                jax.tree.map(jnp.array, state.batch_stats), tx)
+            for _ in range(warmup):
+                key, sub = jax.random.split(key)
+                st, out = step(st, grid, static, batch, sub)
+            _sync(out["total"])
+            t0 = time.time()
+            for _ in range(n_steps):
+                key, sub = jax.random.split(key)
+                st, out = step(st, grid, static, batch, sub)
+            _sync(out["total"])
+            per_bs[bs] = bs * n_steps / (time.time() - t0) / n_chips
+    best_bs = max(per_bs, key=per_bs.get)
+    return {"samples_per_sec_per_chip": per_bs[best_bs],
+            "batch_size": best_bs,
+            "per_batch_size": {str(k): round(v, 1)
+                               for k, v in per_bs.items()},
             "bank_build_s_for_32_images": round(build_s, 2),
             "note": "teacher train step with the frozen ViT's tokens "
                     "cached (encode-once tier); epochs>=1 sustained rate"}
@@ -582,7 +594,7 @@ def main():
     except Exception as e:
         infer = {"error": str(e)}
     try:
-        cached = measure_jax_teacher_cached()
+        cached = measure_jax_teacher_cached(batch_sweep=(128, 256))
     except Exception as e:
         cached = {"error": str(e)}
     ssl_sps = measure_ssl_throughput()

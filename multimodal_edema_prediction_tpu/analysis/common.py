@@ -38,6 +38,13 @@ def add_analysis_flags(p: argparse.ArgumentParser, needs_ckpt: bool = True):
                    help="directory of {image_id}.jpg files — run the "
                         "analysis on REAL CXRs (native decode) instead of "
                         "procedural images")
+    p.add_argument("--cxr_feature_cache", type=str, default="none",
+                   choices=["none", "hbm"],
+                   help="encode-once tier for analyses that stream many "
+                        "frozen-teacher forwards over the same images "
+                        "(counterfactual conditions, probes): cache the "
+                        "ViT's (CLS, patch) tokens per unique image and "
+                        "skip the ViT in every forward")
 
 
 def make_image_source(args, anchor_ds, vit_cfg):
@@ -57,6 +64,41 @@ def make_image_source(args, anchor_ds, vit_cfg):
         return engine.default_image_source
     from ..train.teacher_loop import make_synthetic_image_source
     return make_synthetic_image_source(vit_cfg.image_size)
+
+
+def make_sources(args, anchor_ds, model, params, cfg):
+    """(image_source, feature_source) honoring ``--cxr_feature_cache``.
+
+    With the cache on, every unique image in the cohort is encoded once by
+    the checkpoint's frozen ViT and analyses gather cached (CLS, patch)
+    tokens keyed by RAW image id (analysis batches are assembled without the
+    training loops' row-rewriting hook). The pixel hook is detached after
+    the build so per-batch JPEG decode stops too.
+    """
+    image_source = make_image_source(args, anchor_ds, cfg.vit)
+    if getattr(args, "cxr_feature_cache", "none") == "none":
+        return image_source, None
+    from ..data import features as F
+    a = anchor_ds.anchor
+    all_ids = np.unique(a["image_ids"]).astype(np.int64)
+    order = np.argsort(a["image_ids"], kind="stable")
+    srt = a["image_ids"][order]
+    first = order[np.searchsorted(srt, all_ids)]
+    y_rep = np.asarray(a["y_multi"][first], np.float32)
+    base_hook = anchor_ds.batch_hook
+
+    def pixels_for_ids(ids):
+        b = {"image_ids": np.asarray(ids, np.int32),
+             "y_multi": y_rep[np.searchsorted(all_ids,
+                                              np.asarray(ids, np.int64))]}
+        if base_hook is not None:
+            b = base_hook(b)
+        return np.asarray(image_source(b), np.float32)
+
+    encode = F.encode_fn_for_teacher(model, params)
+    bank = F.CXRFeatureBank.build(encode, pixels_for_ids, all_ids)
+    anchor_ds.batch_hook = None      # pixels no longer needed per batch
+    return image_source, bank.feature_source(keyed_by_row=False)
 
 
 def load_analysis_data(args, n_variables: Optional[int] = None):

@@ -108,11 +108,12 @@ def analyze_label(y: np.ndarray, img_ok: np.ndarray, ts_ok: np.ndarray,
 
 
 def run(model, cfg, params, batch_stats, anchor_ds, labels, split: str,
-        batch_size: int, image_source, threshold_method: str = "youden"
-        ) -> dict:
+        batch_size: int, image_source, threshold_method: str = "youden",
+        feature_source=None) -> dict:
     mesh = meshlib.create_mesh()
     eval_step = engine.make_teacher_eval(model, anchor_ds.n_timesteps,
-                                         image_source=image_source)
+                                         image_source=image_source,
+                                         feature_source=feature_source)
     with mesh:
         anchor_ds.grid = jax.device_put(anchor_ds.grid,
                                         meshlib.replicated(mesh))
@@ -236,11 +237,13 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from .common import make_image_source
+    from .common import make_sources
+    image_source, feature_source = make_sources(args, anchor_ds, model,
+                                                params, cfg)
     result = run(model, cfg, params, batch_stats, anchor_ds,
                  dcfg.pathology_labels, args.split, args.batch_size,
-                 make_image_source(args, anchor_ds, cfg.vit),
-                 args.threshold_method)
+                 image_source, args.threshold_method,
+                 feature_source=feature_source)
     print(format_table(result))
     os.makedirs(args.out_dir, exist_ok=True)
     out = os.path.join(args.out_dir, "complementarity.json")

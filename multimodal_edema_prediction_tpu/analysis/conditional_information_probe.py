@@ -35,10 +35,12 @@ PROBES = ("image_cal", "logit_add", "logit_interaction", "token_linear")
 
 
 def collect_with_tokens(model, params, batch_stats, anchor_ds, split,
-                        batch_size, image_source, label_idx=0):
+                        batch_size, image_source, label_idx=0,
+                        feature_source=None):
     """img/ts logits + fusion tokens + y + subject ids for one split."""
     eval_step = engine.make_teacher_eval_from_windows(
-        model, image_source=image_source, return_attn=True)
+        model, image_source=image_source, return_attn=True,
+        feature_source=feature_source)
     from .common import gather_host_windows
     a = anchor_ds.anchor
     idx_all = anchor_ds.splits[split]
@@ -124,12 +126,13 @@ def grade_evidence(delta: float, ci_lo: float, p_perm: float) -> str:
 
 
 def run_label(model, cfg, params, batch_stats, anchor_ds, image_source,
-              args, label_idx: int) -> dict:
+              args, label_idx: int, feature_source=None) -> dict:
     tr = collect_with_tokens(model, params, batch_stats, anchor_ds, "train",
-                             args.batch_size, image_source, label_idx)
+                             args.batch_size, image_source, label_idx,
+                             feature_source=feature_source)
     ev = collect_with_tokens(model, params, batch_stats, anchor_ds,
                              args.split, args.batch_size, image_source,
-                             label_idx)
+                             label_idx, feature_source=feature_source)
 
     results = {}
     scores = {}
@@ -171,15 +174,17 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from .common import make_image_source
-    image_source = make_image_source(args, anchor_ds, cfg.vit)
+    from .common import make_sources
+    image_source, feature_source = make_sources(args, anchor_ds, model,
+                                                params, cfg)
 
     labels = dcfg.pathology_labels
     idxs = range(len(labels)) if args.label_idx < 0 else [args.label_idx]
     all_results = {}
     for li in idxs:
         results = run_label(model, cfg, params, batch_stats, anchor_ds,
-                            image_source, args, li)
+                            image_source, args, li,
+                            feature_source=feature_source)
         all_results[labels[li]] = results
         print(f"== {labels[li]} ==")
         print(f"{'probe':<18s} {'AUROC':>7s} {'dAUROC':>8s} "

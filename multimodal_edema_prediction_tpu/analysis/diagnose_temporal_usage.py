@@ -37,9 +37,13 @@ CONDITIONS = ("full", "patient_shuffle", "ts_shuffle", "time_reverse",
 
 def collect_predictions(model, params, batch_stats, anchor_ds, split: str,
                         batch_size: int, seed: int, image_source,
-                        max_batches: int = 0) -> dict:
+                        max_batches: int = 0, feature_source=None) -> dict:
+    # feature_source (encode-once tier): the 5 counterfactual conditions
+    # perturb only the TS windows, so the frozen ViT runs once per unique
+    # image instead of 5x per sample per run
     eval_step = engine.make_teacher_eval_from_windows(
-        model, image_source=image_source, return_attn=True)
+        model, image_source=image_source, return_attn=True,
+        feature_source=feature_source)
     a = anchor_ds.anchor
     idx_all = anchor_ds.splits[split]
     fus = {c: [] for c in CONDITIONS}
@@ -177,12 +181,14 @@ def main(argv=None):
     model, cfg, params, batch_stats, ckpt = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from .common import make_image_source
-    image_source = make_image_source(args, anchor_ds, cfg.vit)
+    from .common import make_sources
+    image_source, feature_source = make_sources(args, anchor_ds, model,
+                                                params, cfg)
 
     pred = collect_predictions(model, params, batch_stats, anchor_ds,
                                args.split, args.batch_size, args.seed,
-                               image_source, args.max_batches)
+                               image_source, args.max_batches,
+                               feature_source=feature_source)
     report = summarize(pred, dcfg.pathology_labels, args.n_boot, args.seed)
     print(format_report(report))
     os.makedirs(args.out_dir, exist_ok=True)

@@ -152,20 +152,32 @@ class CXRFeatureBank:
             return {**batch, "image_ids": self.rows_for(batch["image_ids"])}
         return fn
 
-    def feature_source(self) -> Callable[[dict], tuple]:
-        """Device-side row gather for the jitted step; out-of-range rows are
-        NaN-poisoned (see module docstring)."""
+    def feature_source(self, keyed_by_row: bool = True
+                       ) -> Callable[[dict], tuple]:
+        """Device-side gather for the jitted step; invalid keys are
+        NaN-poisoned (see module docstring).
+
+        ``keyed_by_row=True`` (training loops): ``batch['image_ids']`` were
+        rewritten to bank rows by :meth:`host_fn`. ``False`` (analysis paths
+        that assemble batches without the hook): raw image ids resolve to
+        rows by a device-side ``searchsorted`` over the sorted id vector —
+        a [B]×log(N) scan, negligible."""
         import jax.numpy as jnp
         cls_bank, patch_bank = self.cls, self.patches
         n = cls_bank.shape[0]
+        ids_dev = None if keyed_by_row else jnp.asarray(self.ids)
 
         def source(batch):
             ids = batch["image_ids"]
-            safe = jnp.clip(ids, 0, n - 1)
-            bad = ((ids < 0) | (ids >= n))
-            cls = jnp.where(bad[:, None], jnp.nan, cls_bank[safe])
+            if keyed_by_row:
+                rows = jnp.clip(ids, 0, n - 1)
+                bad = ((ids < 0) | (ids >= n))
+            else:
+                rows = jnp.clip(jnp.searchsorted(ids_dev, ids), 0, n - 1)
+                bad = ids_dev[rows] != ids
+            cls = jnp.where(bad[:, None], jnp.nan, cls_bank[rows])
             patches = jnp.where(bad[:, None, None], jnp.nan,
-                                patch_bank[safe])
+                                patch_bank[rows])
             return cls, patches
         return source
 

@@ -344,17 +344,22 @@ def make_teacher_pathology_eval(model, n_timesteps: int, dtype=jnp.bfloat16,
 
 def make_teacher_eval_from_windows(model, dtype=jnp.bfloat16,
                                    image_source: Callable = default_image_source,
-                                   return_attn: bool = False):
+                                   return_attn: bool = False,
+                                   feature_source: Optional[Callable] = None):
     """Teacher eval on explicit [B,T,2V] windows (analysis counterfactuals
-    transform the windows on host before calling)."""
+    transform the windows on host before calling). ``feature_source``
+    (encode-once tier): counterfactuals perturb only the TS windows, so the
+    frozen ViT's cached tokens serve every condition without recompute."""
     @partial(jax.jit, **_jit_opts(model))
     def step(params, batch_stats, x_ts, x_static, batch):
         x_in, x_static2 = feats_to_input(None, x_ts.astype(dtype),
                                          x_static.astype(dtype))
-        pixels = image_source(batch).astype(dtype)
+        pixels, feats = _cxr_inputs(batch, image_source, feature_source,
+                                    dtype)
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           x_in, x_static2, batch["bin_ends"].astype(dtype),
-                          pixels, train=False, return_attn=return_attn)
+                          pixels, train=False, return_attn=return_attn,
+                          cxr_feats=feats)
         keys = ["main_logit", "img_logits", "ts_logits", "fusion_logits",
                 "scaled_correction"]
         if return_attn:

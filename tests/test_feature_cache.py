@@ -266,3 +266,47 @@ def test_kd_step_with_cached_teacher_features(rng):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(m2["logits"]),
                                np.asarray(m1["logits"]), atol=2e-5)
+
+
+def test_eval_from_windows_id_keyed_feature_source(rng):
+    """Analysis path: batches carry RAW image ids (no row-rewriting hook);
+    the id-keyed feature source resolves rows device-side and matches the
+    pixel path; unknown ids NaN-poison."""
+    model, variables, pixels, grid, static, batch = _setup(rng)
+    # non-contiguous ids: id != row
+    ids_raw = (np.arange(N_IMG) * 7 + 3).astype(np.int64)
+    encode = F.encode_fn_for_teacher(model, variables["params"], jnp.float32)
+    bank = F.CXRFeatureBank.build(
+        encode, lambda ids: pixels[np.searchsorted(ids_raw,
+                                                   np.asarray(ids))],
+        ids_raw, chunk=5, out_dtype=np.float32)
+    T = TINY.duett.n_timesteps
+    B = 8
+    x_ts = np.asarray(rng.normal(size=(B, T, 2 * TINY.duett.n_variables))
+                      .astype(np.float32))
+    x_static = np.asarray(rng.normal(size=(B, TINY.duett.d_static))
+                          .astype(np.float32))
+    wbatch = {
+        "image_ids": jnp.asarray(ids_raw[np.arange(B) % N_IMG]
+                                 .astype(np.int32)),
+        "bin_ends": jnp.broadcast_to(jnp.arange(1, T + 1) / 24.0, (B, T)),
+    }
+    rows = np.searchsorted(ids_raw, np.asarray(wbatch["image_ids"]))
+    px_batch = {**wbatch, "image_ids": jnp.asarray(rows.astype(np.int32))}
+    ev_px = engine.make_teacher_eval_from_windows(
+        model, jnp.float32, make_pixel_bank_source(pixels))
+    ev_ft = engine.make_teacher_eval_from_windows(
+        model, jnp.float32,
+        feature_source=bank.feature_source(keyed_by_row=False))
+    o_px = ev_px(variables["params"], variables["batch_stats"],
+                 jnp.asarray(x_ts), jnp.asarray(x_static), px_batch)
+    o_ft = ev_ft(variables["params"], variables["batch_stats"],
+                 jnp.asarray(x_ts), jnp.asarray(x_static), wbatch)
+    np.testing.assert_allclose(np.asarray(o_ft["fusion_logits"]),
+                               np.asarray(o_px["fusion_logits"]), atol=2e-5)
+    # unknown raw id → NaN logits
+    bad = {**wbatch, "image_ids": wbatch["image_ids"].at[0].set(999999)}
+    o_bad = ev_ft(variables["params"], variables["batch_stats"],
+                  jnp.asarray(x_ts), jnp.asarray(x_static), bad)
+    assert np.isnan(np.asarray(o_bad["img_logits"][0])).all()
+    assert np.isfinite(np.asarray(o_bad["img_logits"][1:])).all()

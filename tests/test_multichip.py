@@ -127,3 +127,74 @@ def test_full_size_teacher_step_aot_lowers_on_8dev_mesh():
     assert "mhlo.sharding" in text or "sdy.sharding" in text
     # batch stays data-sharded in the lowered signature
     assert batch["y_multi"].sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_cached_feature_step_runs_on_8dev_mesh():
+    """The encode-once tier under DP×TP: token bank replicated across the
+    mesh, batch data-sharded — one executed train step with finite loss
+    (tiny dims so the CPU compile stays fast)."""
+    import jax.numpy as jnp
+    from multimodal_edema_prediction_tpu.config import (DuettConfig,
+                                                        PerceiverConfig,
+                                                        TeacherConfig,
+                                                        TrainConfig,
+                                                        ViTConfig)
+    from multimodal_edema_prediction_tpu.data import features as F
+    from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
+    from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
+    from multimodal_edema_prediction_tpu.train import engine
+    from multimodal_edema_prediction_tpu.train.optim import make_optimizer
+    from multimodal_edema_prediction_tpu.train.state import TrainState
+    from multimodal_edema_prediction_tpu.train.teacher_loop import (
+        init_teacher, teacher_frozen_prefixes)
+
+    cfg = TeacherConfig(
+        duett=DuettConfig(n_variables=6, n_timesteps=24, d_embedding=8,
+                          n_layers=1, d_feedforward=16,
+                          d_hidden_mlp_embedding=8, d_hidden_tab_encoder=8),
+        vit=ViTConfig(image_size=28, patch_size=14, d_model=16, n_layers=1,
+                      n_heads=2, d_feedforward=32),
+        perceiver=PerceiverConfig(d_latent=16, n_heads=2, head_hidden=8))
+    tcfg = TrainConfig(batch_size=16, dtype="float32")
+    mesh = meshlib.create_mesh(4, 2)
+    model = TeacherModel(cfg)
+    T, V, D = cfg.duett.n_timesteps, cfg.duett.n_variables, cfg.duett.d_static
+    B, K, S = tcfg.batch_size, cfg.perceiver.n_pathologies, cfg.vit.image_size
+    rng = np.random.default_rng(0)
+    n_img = 8
+    variables = init_teacher(model, cfg, B, T, jax.random.key(0))
+    tx = make_optimizer(tcfg.optim, total_steps=10,
+                        frozen_prefixes=teacher_frozen_prefixes(cfg))
+    with mesh:
+        rep = meshlib.replicated(mesh)
+        params = meshlib.shard_params(variables["params"], mesh)
+        state = TrainState.create(params, variables["batch_stats"], tx)
+        pix = rng.random((n_img, S, S, 3)).astype(np.float32)
+        encode = F.encode_fn_for_teacher(model, params, jnp.float32)
+        bank = F.CXRFeatureBank.build(
+            encode, lambda ids: pix[np.asarray(ids)], np.arange(n_img),
+            chunk=4, out_dtype=np.float32,
+            device_put=lambda a: jax.device_put(a, rep))
+        step = engine.make_teacher_step(
+            model, tcfg, cfg.duett, T, np.ones(K, np.float32),
+            dtype=jnp.float32, feature_source=bank.feature_source())
+        grid = jax.device_put(
+            rng.normal(size=(8, T + 8, 2 * V)).astype(np.float32), rep)
+        static = jax.device_put(
+            rng.normal(size=(8, D)).astype(np.float32), rep)
+        batch = meshlib.shard_batch({
+            "stay_rows": rng.integers(0, 8, B).astype(np.int32),
+            "slot_idx": np.full(B, T, np.int32),
+            "image_ids": (np.arange(B) % n_img).astype(np.int32),
+            "y": rng.integers(0, 2, B).astype(np.float32),
+            "y_multi": rng.integers(0, 2, (B, K)).astype(np.float32),
+            "y_multi_mask": np.ones((B, K), np.float32),
+            "bin_ends": np.broadcast_to(
+                (np.arange(1, T + 1) / 24.0).astype(np.float32),
+                (B, T)).copy(),
+        }, mesh)
+        state, out = step(state, grid, static, batch, jax.random.key(1))
+        assert np.isfinite(float(out["total"]))
+        # bank rows stay replicated; batch stays data-sharded
+        assert batch["y_multi"].sharding.spec == \
+            jax.sharding.PartitionSpec("data")
