@@ -167,6 +167,10 @@ def main(argv=None):
     add_analysis_flags(p)
     p.add_argument("--n_batches", type=int, default=4)
     args = p.parse_args(argv)
+    if getattr(args, "cxr_feature_cache", "none") != "none":
+        p.error("--cxr_feature_cache is not applicable here: the pixel-"
+                "input sensitivity diagnostics (px_input_grad) differentiate "
+                "the loss w.r.t. PIXELS, which the encode-once tier removes")
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, _ = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)

@@ -287,9 +287,11 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from .common import make_image_source
+    from .common import make_sources
+    image_source, feature_source = make_sources(args, anchor_ds, model,
+                                                params, cfg)
     eval_step = engine.make_teacher_eval_from_windows(
-        model, image_source=make_image_source(args, anchor_ds, cfg.vit))
+        model, image_source=image_source, feature_source=feature_source)
     a = anchor_ds.anchor
 
     def collect(split):

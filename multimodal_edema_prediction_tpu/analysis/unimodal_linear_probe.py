@@ -29,9 +29,13 @@ POOLINGS = ("rep", "hourly_mean", "multiscale", "attn_pool")
 
 
 def extract_features(model, params, batch_stats, anchor_ds, image_source,
-                     batch_size: int = 64, cache_path: Optional[str] = None
-                     ) -> dict:
-    """One pass over all anchors → duett tokens (all poolings) + CXR CLS."""
+                     batch_size: int = 64, cache_path: Optional[str] = None,
+                     feature_source=None) -> dict:
+    """One pass over all anchors → duett tokens (all poolings) + CXR CLS.
+
+    ``feature_source`` (encode-once tier, ``--cxr_feature_cache``): anchors
+    repeat images, so the CLS gather from the per-unique-image token bank
+    replaces one full ViT forward per anchor."""
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
         return {k: z[k] for k in z.files}
@@ -52,9 +56,12 @@ def extract_features(model, params, batch_stats, anchor_ds, image_source,
 
     @jax.jit
     def cxr_step(batch):
-        pixels = image_source(batch)
-        cls, _ = DinoViT(vit_cfg).apply(
-            {"params": params["cxr"]}, pixels, train=False)
+        if feature_source is not None:
+            cls, _ = feature_source(batch)
+        else:
+            pixels = image_source(batch)
+            cls, _ = DinoViT(vit_cfg).apply(
+                {"params": params["cxr"]}, pixels, train=False)
         return cls.astype(jnp.float32)
 
     a = anchor_ds.anchor
@@ -152,11 +159,13 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from .common import make_image_source
+    from .common import make_sources
+    image_source, feature_source = make_sources(args, anchor_ds, model,
+                                                params, cfg)
     feats = extract_features(model, params, batch_stats, anchor_ds,
-                             make_image_source(args, anchor_ds, cfg.vit),
-                             args.batch_size,
-                             args.save_features or None)
+                             image_source, args.batch_size,
+                             args.save_features or None,
+                             feature_source=feature_source)
     a, s = anchor_ds.anchor, anchor_ds.splits
     tr, ev = s["train"], s[args.split]
     y_tr, m_tr = a["y_multi"][tr], a["y_multi_mask"][tr]

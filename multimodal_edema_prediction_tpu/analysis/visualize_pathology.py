@@ -27,9 +27,10 @@ from .common import (add_analysis_flags, gather_host_windows,
 
 
 def _collect(model, params, batch_stats, anchor_ds, split, batch_size,
-             image_source, max_batches=8):
+             image_source, max_batches=8, feature_source=None):
     eval_step = engine.make_teacher_eval_from_windows(
-        model, image_source=image_source, return_attn=True)
+        model, image_source=image_source, return_attn=True,
+        feature_source=feature_source)
     a = anchor_ds.anchor
     idx_all = anchor_ds.splits[split]
     acc = {k: [] for k in ("img_attn", "ts_attn", "fus_tok", "img", "ts",
@@ -239,11 +240,12 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from .common import make_image_source
+    from .common import make_sources
+    image_source, feature_source = make_sources(args, anchor_ds, model,
+                                                params, cfg)
     data = _collect(model, params, batch_stats, anchor_ds, args.split,
-                    args.batch_size,
-                    make_image_source(args, anchor_ds, cfg.vit),
-                    args.max_batches or 8)
+                    args.batch_size, image_source,
+                    args.max_batches or 8, feature_source=feature_source)
     os.makedirs(args.out_dir, exist_ok=True)
     labels = dcfg.pathology_labels
     plot_attention_overlays(data, labels, cfg.vit.image_size, args.out_dir)

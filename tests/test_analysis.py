@@ -122,6 +122,34 @@ def test_grad_flow_diagnostics(teacher_ckpt, tmp_path):
     assert np.isfinite(r["query_gram_gap"])
 
 
+@pytest.mark.slow
+def test_complementarity_feature_cache_parity(teacher_ckpt, tmp_path):
+    """--cxr_feature_cache must not change the analysis: the cached
+    (CLS, patch) tokens are the same frozen-ViT outputs the pixel path
+    computes in-step, so per-label contingency tables agree."""
+    from multimodal_edema_prediction_tpu.analysis import complementarity as C
+    px = C.main(_flags(teacher_ckpt, str(tmp_path / "px")))
+    ft = C.main(_flags(teacher_ckpt, str(tmp_path / "ft"),
+                       ["--cxr_feature_cache", "hbm"]))
+    for r_px, r_ft in zip(px["per_label"], ft["per_label"]):
+        assert r_px["n"] == r_ft["n"]
+        # same frozen-ViT outputs; only near-tie threshold flips allowed
+        for k in ("img_acc", "ts_acc", "fus_acc"):
+            if r_px["n"]:
+                assert abs(r_px[k] - r_ft[k]) < 0.02, (r_px["label"], k)
+
+
+def test_grad_flow_rejects_feature_cache(tmp_path):
+    """Pixel-gradient diagnostics (px_input_grad) need real pixels; the
+    encode-once flag must fail loudly, not silently change semantics.
+    (Rejection fires before the checkpoint is touched.)"""
+    from multimodal_edema_prediction_tpu.analysis import \
+        grad_flow_diagnostics as G
+    with pytest.raises(SystemExit):
+        G.main(_flags(str(tmp_path / "unused.msgpack"), str(tmp_path),
+                      ["--cxr_feature_cache", "hbm"]))
+
+
 def test_trajectory_availability(tmp_path):
     from multimodal_edema_prediction_tpu.analysis import \
         trajectory_availability as T
