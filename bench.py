@@ -602,7 +602,7 @@ def main():
     except Exception as e:
         infer = {"error": str(e)}
     try:
-        cached = measure_jax_teacher_cached(batch_sweep=(128, 256))
+        cached = measure_jax_teacher_cached(batch_sweep=(128, 256, 512))
     except Exception as e:
         cached = {"error": str(e)}
     ssl_sps = measure_ssl_throughput()
