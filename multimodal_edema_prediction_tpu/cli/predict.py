@@ -40,18 +40,20 @@ def main(argv=None):
                                         meshlib.replicated(mesh))
         o = collect_dual_outputs(eval_step, params, batch_stats, anchor_ds,
                                  args.split, args.batch_size, mesh)
-        beta = np.asarray(params["perceiver"]["beta"])
+        beta_p = params["perceiver"].get("beta")   # absent in 'dual' mode
+        beta = np.asarray(beta_p) if beta_p is not None else None
         result = evaluate_dual_pathology(
             eval_step, params, batch_stats, anchor_ds, args.split,
             args.batch_size, mesh, dcfg.pathology_labels, beta)
     print(format_dual_pathology_gap_table(result))
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    extra = {} if beta is None else {"beta": beta}
     np.savez_compressed(
         args.out, img_logits=o["img"], ts_logits=o["ts"],
         fusion_logits=o["fus"], scaled_correction=o["corr"],
         main_logit=o["main"], y_multi=o["y"], y_multi_mask=o["mask"],
-        labels=np.asarray(dcfg.pathology_labels), beta=beta)
+        labels=np.asarray(dcfg.pathology_labels), **extra)
     print(f"predictions → {args.out}")
     return result
 

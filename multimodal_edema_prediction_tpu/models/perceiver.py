@@ -291,9 +291,45 @@ class PathologyPerceiver(nn.Module):
         return out
 
 
+class StackedLabelHeads(nn.Module):
+    """K independent per-label MLP heads — the reference 'dual' perceiver's
+    ``nn.ModuleList([_mk_head() for _ in range(K)])``
+    (main_architecture_duett.py:688-694) — as stacked ``[K,·,·]`` parameters
+    driven by batched einsums: one MXU-friendly [B,K,d]×[K,d,h] contraction
+    instead of K tiny per-label matmuls."""
+    n_labels: int
+    d_hidden: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # x: [B, K, d] → [B, K]
+        K, d, H = self.n_labels, x.shape[-1], self.d_hidden
+        init = nn.initializers.lecun_normal(batch_axis=(0,))
+        w1 = self.param("w1", init, (K, d, H), jnp.float32)
+        b1 = self.param("b1", nn.initializers.zeros, (K, H), jnp.float32)
+        w2 = self.param("w2", init, (K, H, 1), jnp.float32)
+        b2 = self.param("b2", nn.initializers.zeros, (K, 1), jnp.float32)
+        h = jnp.einsum("bkd,kdh->bkh", x, w1.astype(x.dtype)) \
+            + b1.astype(x.dtype)
+        h = gelu_exact(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        o = jnp.einsum("bkh,kho->bko", h, w2.astype(x.dtype)) \
+            + b2.astype(x.dtype)
+        return o[..., 0]
+
+
 class DualPathologyPerceiver(nn.Module):
     """'dual' mode: image branch = frozen pretrained CXR-head logits passed
-    in; temporal branch + residual fusion as above (reference :659-741)."""
+    in; temporal branch = per-pathology queries cross-attending DuETT
+    tokens; ``fusion_logit[k] = img_logit[k] + residual_head_k(T_k)``.
+
+    Faithful to the reference class at :659-741 — commented out in the
+    checked-in tree but REQUIRED by its student-KD path
+    (trainer.py:795-800) — including the parts that differ from the active
+    ``dual_patch`` mode: per-label temporal/residual MLP ModuleLists (not a
+    shared head + per-label bias), plain additive fusion (no beta scale),
+    and standard (non-zero) residual-head initialization."""
     cfg: PerceiverConfig
     d_ts: int
 
@@ -309,7 +345,15 @@ class DualPathologyPerceiver(nn.Module):
                              (cfg.n_pathologies, cfg.d_latent), jnp.float32)
         q = jnp.broadcast_to(queries.astype(dtype),
                              (B, cfg.n_pathologies, cfg.d_latent))
-        ts_sel = ts_tokens[:, :-1, :] if abl == "hourly_only" else ts_tokens
+        if abl == "full":
+            ts_sel = ts_tokens
+        elif abl == "hourly_only":
+            ts_sel = ts_tokens[:, :-1, :]
+        elif abl == "rep_only":
+            ts_sel = ts_tokens[:, -1:, :]
+        else:
+            raise ValueError(f"unknown ts_ablation {abl!r}; expected one of "
+                             "{'full', 'hourly_only', 'rep_only'}")
         ts_kv = nn.Dense(cfg.d_latent, dtype=dtype, param_dtype=jnp.float32,
                          name="ts_proj")(ts_sel)
         ts_cross = PerceiverBlock(cfg.n_heads, cfg.dropout, name="ts_cross")
@@ -320,26 +364,24 @@ class DualPathologyPerceiver(nn.Module):
             Tk, ts_attn = ts_cross(q, ts_kv, train=train), None
         Tk = ts_self(Tk, Tk, train=train)
 
-        ts_bias = self.param("temporal_label_bias", nn.initializers.zeros,
-                             (cfg.n_pathologies,), jnp.float32)
-        beta = self.param("beta", nn.initializers.ones,
-                          (cfg.n_pathologies,), jnp.float32)
-        ts_logits = _Head(cfg.head_hidden, cfg.head_dropout,
-                          name="temporal_head")(Tk, train=train).squeeze(-1)
-        ts_logits = ts_logits.astype(jnp.float32) + ts_bias[None, :]
-        corr = CorrectionHead(cfg.head_hidden, cfg.head_dropout,
-                              name="correction_head")(
-            Tk, train=train).squeeze(-1).astype(jnp.float32)
-        scaled_corr = beta[None, :] * corr
+        ts_logits = StackedLabelHeads(
+            cfg.n_pathologies, cfg.head_hidden, cfg.head_dropout,
+            name="temporal_heads")(Tk, train=train).astype(jnp.float32)
+        residuals = StackedLabelHeads(
+            cfg.n_pathologies, cfg.head_hidden, cfg.head_dropout,
+            name="residual_heads")(Tk, train=train).astype(jnp.float32)
         img_logits = jax.lax.stop_gradient(img_logits.astype(jnp.float32))
         out = {
             "img_logits": img_logits,
             "ts_logits": ts_logits,
-            "fusion_logits": img_logits + scaled_corr,
+            "fusion_logits": img_logits + residuals,
             "ts_tokens": Tk,
             "fusion_tokens": Tk,
-            "ts_correction": corr,
-            "scaled_correction": scaled_corr,
+            "residuals": residuals,
+            # loop/evaluator aliases: diagnostics treat the additive residual
+            # as an unscaled correction
+            "ts_correction": residuals,
+            "scaled_correction": residuals,
         }
         if return_attn:
             out["ts_attn"] = ts_attn

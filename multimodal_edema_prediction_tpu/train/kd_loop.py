@@ -38,7 +38,14 @@ def load_teacher_from_ckpt(ckpt_path: str):
     if "config" not in ckpt:
         raise ValueError(f"{ckpt_path} has no config sidecar")
     tcfg = TeacherConfig.from_dict(ckpt["config"]["model"])
-    model = TeacherModel(tcfg)
+    # 'dual' teachers carry the pretrained-head width and keep_idx buffer in
+    # the sidecar (teacher_loop writes them; reference rebuilds them from the
+    # head ckpt file, trainer.py:786-800)
+    keep = ckpt["config"].get("static_keep_idx")
+    model = TeacherModel(
+        tcfg,
+        n_pretrained_labels=int(ckpt["config"].get("n_pretrained_labels", 7)),
+        static_keep_idx=tuple(keep) if keep is not None else None)
     return model, tcfg, ckpt["params"], ckpt["batch_stats"], ckpt
 
 
@@ -53,7 +60,8 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                      stop_after_epochs: Optional[int] = None,
                      feature_cache: str = "none",
                      feature_store_path: Optional[str] = None,
-                     hbm_feature_budget_gb: float = 8.0) -> TrainResult:
+                     hbm_feature_budget_gb: float = 8.0,
+                     init_variables: Optional[dict] = None) -> TrainResult:
     """Resume semantics identical to ``train_teacher`` (FullStateResumer:
     bit-exact epoch-boundary restore).
 
@@ -138,10 +146,15 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
     x_in = np.zeros((cfg.batch_size, T, 2 * V + 1), dtype)
     x_static = np.zeros((cfg.batch_size, student_cfg.duett.d_static), dtype)
     times = np.zeros((cfg.batch_size, T), dtype)
-    init = jax.jit(student.init, out_shardings=meshlib.replicated(mesh)) \
-        if multi else jax.jit(student.init)
-    variables = init({"params": mh.maybe_raw_key(jax.random.key(cfg.seed))},
-                     x_in, x_static, times)
+    if init_variables is not None:   # e.g. transplant parity tests
+        variables = init_variables
+    else:
+        init = jax.jit(student.init,
+                       out_shardings=meshlib.replicated(mesh)) \
+            if multi else jax.jit(student.init)
+        variables = init(
+            {"params": mh.maybe_raw_key(jax.random.key(cfg.seed))},
+            x_in, x_static, times)
     params, batch_stats = variables["params"], variables["batch_stats"]
     if ssl_backbone_ckpt:
         from .ssl_loop import transplant_encoder

@@ -492,6 +492,12 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
         t_start, n_steps = time.time(), 0
         cfg_dict = {"model": teacher_cfg.to_dict(), "train": cfg.to_dict(),
                     "pathology_labels": list(pathology_labels)}
+        if teacher_cfg.perceiver_type == "dual":
+            # 'dual' reconstruction needs these (NOT recoverable from params:
+            # keep_idx is an index buffer, reference :1069) — ride the sidecar
+            cfg_dict["n_pretrained_labels"] = n_pretrained
+            if static_keep_idx is not None:
+                cfg_dict["static_keep_idx"] = list(static_keep_idx)
         best_vars = None   # multi-process: in-memory best (file is main-only)
         if resume_meta is not None:
             start_epoch, history, n_steps, step_rng = \
@@ -539,8 +545,10 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                     f"(loss={run[loss_keys[0]]}); aborting before the "
                     "optimizer state is poisoned — restore from the last "
                     "checkpoint")
-            beta = (mh.fetch_global(state.params["perceiver"]["beta"])
-                    if uses_dual else None)
+            # 'dual' (faithful legacy mode) has additive residuals, no beta
+            beta_p = state.params["perceiver"].get("beta") \
+                if uses_dual else None
+            beta = mh.fetch_global(beta_p) if beta_p is not None else None
 
             val, val_metric, _ = run_eval(state.params, state.batch_stats,
                                           "val", beta)
@@ -659,8 +667,8 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
             best_metric, best_path = tracker.best
             ckpt = load_checkpoint(best_path)
             best_params, best_stats = ckpt["params"], ckpt["batch_stats"]
-        beta = (np.asarray(best_params["perceiver"]["beta"])
-                if uses_dual else None)
+        beta_p = best_params["perceiver"].get("beta") if uses_dual else None
+        beta = np.asarray(beta_p) if beta_p is not None else None
         test, test_metric, table = run_eval(best_params, best_stats,
                                             "test", beta)
         log.info(f"test: main AUROC={test_metric:.4f}\n" + table)

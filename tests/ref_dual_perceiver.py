@@ -1,0 +1,102 @@
+"""Faithful torch ``DualPathologyPerceiver`` for the reference harness.
+
+The reference's 'dual' perceiver class is COMMENTED OUT in its checked-in
+tree (``/root/reference/models/main_architecture_duett.py:659-741``), yet the
+reference's student-KD path hard-requires it: ``_build_teacher_from_ckpt``
+only accepts ``perceiver_type == 'dual'`` teachers and instantiates the class
+by name (``/root/reference/training_duett/trainer.py:778-800``, import guard
+``:42-44``). To run the reference's REAL ``train_student`` end to end for
+loop-level parity, this module transcribes the commented class faithfully —
+the same move as ``ref_encoder.FaithfulEncoder`` for the missing
+x_transformers dependency (endorsed in VERDICT r2 item 1). It lives in
+tests/ only and is injected via monkeypatch; the framework itself has its own
+TPU-native implementation (``models/perceiver.py::DualPathologyPerceiver``).
+
+Structure (from the commented source):
+  temporal_queries  ~ N(0, 0.02)                          [K, d_latent]
+  ts_proj           Linear(d_ts, d_latent)
+  ts_cross, ts_self _PerceiverBlock (the reference's LIVE class :745-774)
+  temporal_heads    ModuleList of K × Sequential(Linear(d, h), GELU,
+                    Dropout, Linear(h, 1))                 (ts_logits)
+  residual_heads    same shape                             (residuals)
+  fusion_logits = img_logits + residuals   (plain additive, no beta)
+"""
+from __future__ import annotations
+
+import torch
+from torch import nn
+
+from ref_harness import load_reference
+
+REF = load_reference()
+
+
+def _mk_head(d_latent: int, head_hidden: int, head_dropout: float):
+    return nn.Sequential(
+        nn.Linear(d_latent, head_hidden), nn.GELU(), nn.Dropout(head_dropout),
+        nn.Linear(head_hidden, 1),
+    )
+
+
+class FaithfulDualPerceiver(nn.Module):
+    """Drop-in for the commented reference DualPathologyPerceiver."""
+
+    def __init__(self, n_pathologies: int, d_ts: int, d_latent: int = 256,
+                 n_heads: int = 4, dropout: float = 0.1,
+                 head_hidden: int = 64, head_dropout: float = 0.1):
+        super().__init__()
+        block = REF["models"]._PerceiverBlock
+        self.n_pathologies = n_pathologies
+        self.d_latent = d_latent
+        self.temporal_queries = nn.Parameter(
+            torch.randn(n_pathologies, d_latent) * 0.02)
+        self.ts_proj = nn.Linear(d_ts, d_latent)
+        self.ts_cross = block(d_latent, n_heads, dropout)
+        self.ts_self = block(d_latent, n_heads, dropout)
+        self.temporal_heads = nn.ModuleList(
+            [_mk_head(d_latent, head_hidden, head_dropout)
+             for _ in range(n_pathologies)])
+        self.residual_heads = nn.ModuleList(
+            [_mk_head(d_latent, head_hidden, head_dropout)
+             for _ in range(n_pathologies)])
+
+    def forward(self, ts_tokens: torch.Tensor, img_logits: torch.Tensor,
+                return_attn: bool = False,
+                ts_ablation: str = "hourly_only") -> dict:
+        B = ts_tokens.size(0)
+        if ts_ablation == "full":
+            ts_selected = ts_tokens
+        elif ts_ablation == "hourly_only":
+            ts_selected = ts_tokens[:, :-1, :]
+        elif ts_ablation == "rep_only":
+            ts_selected = ts_tokens[:, -1:, :]
+        else:
+            raise ValueError(f"unknown ts_ablation={ts_ablation!r}")
+        ts_kv = self.ts_proj(ts_selected)
+
+        ts_q = self.temporal_queries.unsqueeze(0).expand(B, -1, -1)
+        ts_attn = None
+        if return_attn:
+            T_tok, ts_attn = self.ts_cross(ts_q, ts_kv, return_attn=True)
+        else:
+            T_tok = self.ts_cross(ts_q, ts_kv)
+        T_tok = self.ts_self(T_tok, T_tok)
+
+        ts_logits = torch.stack(
+            [h(T_tok[:, k]).squeeze(-1)
+             for k, h in enumerate(self.temporal_heads)], dim=1)
+        residuals = torch.stack(
+            [h(T_tok[:, k]).squeeze(-1)
+             for k, h in enumerate(self.residual_heads)], dim=1)
+        fusion_logits = img_logits + residuals
+
+        out = {
+            "img_logits": img_logits,
+            "ts_logits": ts_logits,
+            "fusion_logits": fusion_logits,
+            "ts_tokens": T_tok,
+            "residuals": residuals,
+        }
+        if return_attn:
+            out["ts_attn"] = ts_attn
+        return out

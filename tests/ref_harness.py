@@ -256,6 +256,31 @@ def patch_dual_perceiver_params(ref) -> dict:
     }
 
 
+def stacked_heads_from(heads) -> dict:
+    """torch ModuleList of K × Sequential(Linear, GELU, Dropout, Linear) →
+    flax StackedLabelHeads params ([K,·,·] stacks)."""
+    import numpy as np
+    return {
+        "w1": np.stack([t2n(h[0].weight).T for h in heads]),
+        "b1": np.stack([t2n(h[0].bias) for h in heads]),
+        "w2": np.stack([t2n(h[3].weight).T for h in heads]),
+        "b2": np.stack([t2n(h[3].bias) for h in heads]),
+    }
+
+
+def dual_perceiver_params(ref) -> dict:
+    """FaithfulDualPerceiver (the reference's commented 'dual' class,
+    :659-741) → flax DualPathologyPerceiver params tree."""
+    return {
+        "shared_queries": t2n(ref.temporal_queries),
+        "ts_proj": dense_from(ref.ts_proj),
+        "ts_cross": perceiver_block_from(ref.ts_cross),
+        "ts_self": perceiver_block_from(ref.ts_self),
+        "temporal_heads": stacked_heads_from(ref.temporal_heads),
+        "residual_heads": stacked_heads_from(ref.residual_heads),
+    }
+
+
 def bn_from(bn1d: nn.BatchNorm1d):
     """→ (params, stats) for the flax BatchNormLastDim inner BatchNorm_0."""
     params = {"scale": t2n(bn1d.weight), "bias": t2n(bn1d.bias)}

@@ -18,13 +18,14 @@ import jax.numpy as jnp
 from ref_harness import (
     load_reference, randomize_module, t2n,
     patch_dual_perceiver_params, perceiver_block_from, duett_encoder_params,
+    dual_perceiver_params,
 )
 from multimodal_edema_prediction_tpu.config import (
     DuettConfig, PerceiverConfig)
 from multimodal_edema_prediction_tpu.models import duett as jduett
 from multimodal_edema_prediction_tpu.models.layers import MultiHeadAttention
 from multimodal_edema_prediction_tpu.models.perceiver import (
-    PatchDualPathologyPerceiver, PerceiverBlock)
+    DualPathologyPerceiver, PatchDualPathologyPerceiver, PerceiverBlock)
 from multimodal_edema_prediction_tpu.ops import losses as jlosses
 
 REF = load_reference()
@@ -215,6 +216,48 @@ class TestPerceiverParity:
         corr_g = float(jnp.abs(
             g["correction_head"]["head"]["in"]["kernel"]).sum())
         assert corr_g > 0
+
+    @pytest.mark.parametrize("abl", ["hourly_only", "full", "rep_only"])
+    def test_dual_pathology_perceiver(self, abl):
+        """'dual' perceiver vs the faithful torch transcription of the
+        reference's commented class (:659-741, vendored in
+        tests/ref_dual_perceiver.py because the reference's train_student
+        requires it): per-label stacked heads, additive fusion."""
+        from ref_dual_perceiver import FaithfulDualPerceiver
+        torch.manual_seed(0)
+        K, d_ts, d_lat, B, T1 = 7, 120, 64, 3, 25
+        ref = FaithfulDualPerceiver(
+            n_pathologies=K, d_ts=d_ts, d_latent=d_lat, n_heads=4,
+            dropout=0.1, head_hidden=32, head_dropout=0.1).eval()
+        randomize_module(ref, seed=7)
+        rng = np.random.default_rng(8)
+        ts_tokens = rng.normal(size=(B, T1, d_ts)).astype(np.float32)
+        img_logits = rng.normal(size=(B, K)).astype(np.float32)
+        with torch.no_grad():
+            t_out = ref(torch.tensor(ts_tokens), torch.tensor(img_logits),
+                        return_attn=True, ts_ablation=abl)
+
+        cfg = PerceiverConfig(n_pathologies=K, d_latent=d_lat, n_heads=4,
+                              dropout=0.1, head_hidden=32, head_dropout=0.1,
+                              ts_ablation=abl)
+        mod = DualPathologyPerceiver(cfg, d_ts=d_ts)
+        params = jax.tree.map(jnp.asarray, dual_perceiver_params(ref))
+        j_out = mod.apply({"params": params}, jnp.asarray(ts_tokens),
+                          jnp.asarray(img_logits), train=False,
+                          return_attn=True)
+        for k in ("ts_logits", "fusion_logits", "residuals", "ts_attn"):
+            assert_close(j_out[k], t_out[k], name=f"dual_{k}")
+
+        # fusion gradient reaches the residual heads but NOT img_logits
+        def loss(p, img):
+            o = mod.apply({"params": p}, jnp.asarray(ts_tokens), img,
+                          train=False)
+            return o["fusion_logits"].sum()
+
+        g_p, g_img = jax.grad(loss, argnums=(0, 1))(
+            params, jnp.asarray(img_logits))
+        assert float(jnp.abs(g_p["residual_heads"]["w1"]).sum()) > 0
+        assert float(jnp.abs(g_img).sum()) == 0.0
 
 
 # =============================================================================

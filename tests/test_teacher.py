@@ -101,8 +101,13 @@ def test_dual_mode_forward(rng):
                        keep_idx=keep_idx)
     out = model.apply(vars_, x_in, x_static, times, pixels, keep_idx=keep_idx)
     assert out["fusion_logits"].shape == (4, 7)
-    np.testing.assert_allclose(np.asarray(out["fusion_logits"]),
-                               np.asarray(out["img_logits"]), atol=1e-6)
+    # faithful 'dual' fusion is plain additive: fusion = img + residual
+    # (per-label residual heads with STANDARD init — the commented reference
+    # class :688-694 does not zero-init them, unlike dual_patch)
+    np.testing.assert_allclose(
+        np.asarray(out["fusion_logits"] - out["img_logits"]),
+        np.asarray(out["scaled_correction"]), atol=1e-6)
+    assert float(np.abs(np.asarray(out["scaled_correction"])).sum()) > 0
 
 
 @pytest.mark.slow
