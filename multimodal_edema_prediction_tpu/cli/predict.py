@@ -29,12 +29,14 @@ def main(argv=None):
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
         args, n_variables=cfg.duett.n_variables)
-    from ..analysis.common import make_image_source
-    image_source = make_image_source(args, anchor_ds, cfg.vit)
+    from ..analysis.common import make_sources
+    image_source, feature_source = make_sources(args, anchor_ds, model,
+                                                params, cfg)
 
     mesh = meshlib.create_mesh()
     eval_step = engine.make_teacher_eval(model, anchor_ds.n_timesteps,
-                                         image_source=image_source)
+                                         image_source=image_source,
+                                         feature_source=feature_source)
     with mesh:
         anchor_ds.grid = jax.device_put(anchor_ds.grid,
                                         meshlib.replicated(mesh))
