@@ -169,7 +169,11 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
 
             improved = stopper.update(val_loss)
             if improved and mh.is_main_process():
-                tracker.offer(-val_loss, state.params, state.batch_stats,
+                # tracker is mode="min": offer the RAW loss. (Negating it
+                # here double-inverted the ordering and kept the WORST
+                # checkpoint — caught by the 2-proc SSL equivalence test,
+                # where the non-main process reports stopper.best instead.)
+                tracker.offer(val_loss, state.params, state.batch_stats,
                               int(state.step), cfg_dict)
             history.append({"epoch": epoch, "train_loss": train_loss,
                             "val_loss": val_loss})
@@ -200,12 +204,12 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
                                  int(state.step), cfg_dict)
             best_metric, best_path = tracker.best
         else:
-            best_metric = -(stopper.best if stopper.best is not None
-                            else float("nan"))
+            best_metric = (stopper.best if stopper.best is not None
+                           else float("nan"))
             best_path = ""
 
     sps = n_steps / max(elapsed, 1e-9)
-    return TrainResult(best_metric=-best_metric, best_path=best_path,
+    return TrainResult(best_metric=best_metric, best_path=best_path,
                        history=history, test_metrics={},
                        steps_per_sec=sps,
                        samples_per_sec=sps * cfg.batch_size)

@@ -44,6 +44,11 @@ def test_ssl_pretrain_reduces_loss_and_saves_meta(data, tmp_path):
                     warmup_steps=20)
     assert res.history[-1]["val_loss"] < res.history[0]["val_loss"] * 1.05
     assert np.isfinite(res.best_metric)
+    # best ckpt = MIN val loss (regression: a double sign inversion once
+    # made the tracker keep the WORST epoch; the reference selects min
+    # val_loss, train_duett_ssl.py:188-196)
+    assert res.best_metric == pytest.approx(
+        min(h["val_loss"] for h in res.history), abs=1e-6)
     assert os.path.exists(str(tmp_path / "ssl" / "meta_with_stats.pkl"))
 
     # encoder transplant into a fresh student

@@ -185,7 +185,7 @@ def rig(tmp_path_factory):
                 d_static=meta_full["D_STATIC"])
 
 
-def _run_reference(rig, monkeypatch):
+def _run_reference(rig, monkeypatch, mode="dual_patch", head_ckpt=None):
     """Run the reference's real train_teacher; return captured telemetry."""
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
@@ -197,6 +197,13 @@ def _run_reference(rig, monkeypatch):
     # --- IO monkeypatches -------------------------------------------------
     monkeypatch.setattr(ref_trainer, "AutoImageProcessor",
                         _StubImageProcessor)
+    if mode == "dual":
+        # the reference's 'dual' class is commented out in its tree; inject
+        # the faithful transcription (unit-parity-tested) so its OWN dual
+        # dispatch (trainer.py:291-302) runs
+        from ref_dual_perceiver import FaithfulDualPerceiver
+        monkeypatch.setattr(ref_trainer, "DualPathologyPerceiver",
+                            FaithfulDualPerceiver)
 
     class _StubAutoModel:
         @staticmethod
@@ -256,8 +263,8 @@ def _run_reference(rig, monkeypatch):
             "--final_df_path", rig["final_path"],
             "--static_path", rig["static_path"],
             "--duett_ckpt", rig["duett_ckpt"],
-            "--ckpt_dir", str(rig["root"] / "ref_runs"),
-            "--perceiver_type", "dual_patch",
+            "--ckpt_dir", str(rig["root"] / f"ref_runs_{mode}"),
+            "--perceiver_type", mode,
             "--n_timesteps", str(T),
             "--batch_size", str(rig["n_train"]),
             "--num_workers", "0",
@@ -276,6 +283,8 @@ def _run_reference(rig, monkeypatch):
             "--eval_train_batches", "0",
             "--log_every", "1000000",
             "--wandb_disabled"]
+    if mode == "dual":
+        argv += ["--pretrained_cxr_head_ckpt", head_ckpt]
     monkeypatch.setattr(sys, "argv", argv)
     args = ref_run.parse_teacher_args()
 
@@ -287,13 +296,23 @@ def _run_reference(rig, monkeypatch):
 
 def _transplant_init(init_model, hf_vit, teacher_cfg, template):
     """torch teacher (initial weights) → flax init_variables."""
-    params = {
-        "duett": None, "img_proj": dense_from(init_model.img_proj),
-        "perceiver": patch_dual_perceiver_params(init_model.perceiver),
-        "cxr": convert_hf_dinov2(
-            {k: v.numpy() for k, v in hf_vit.state_dict().items()},
-            teacher_cfg.vit),
-    }
+    cxr = convert_hf_dinov2(
+        {k: v.numpy() for k, v in hf_vit.state_dict().items()},
+        teacher_cfg.vit)
+    if teacher_cfg.perceiver_type == "dual":
+        from ref_harness import dual_perceiver_params
+        params = {
+            "cxr": cxr,
+            "pretrained_cxr_head": {
+                "linear": dense_from(init_model.pretrained_cxr_head)},
+            "perceiver": dual_perceiver_params(init_model.perceiver),
+        }
+    else:
+        params = {
+            "img_proj": dense_from(init_model.img_proj),
+            "perceiver": patch_dual_perceiver_params(init_model.perceiver),
+            "cxr": cxr,
+        }
     duett_p, duett_s = duett_encoder_params(init_model.duett,
                                             with_transformers=True)
     params["duett"] = duett_p
@@ -307,8 +326,28 @@ def _transplant_init(init_model, hf_vit, teacher_cfg, template):
 
 
 @pytest.mark.slow
-def test_training_trajectory_parity(rig, monkeypatch, tmp_path):
-    captured = _run_reference(rig, monkeypatch)
+@pytest.mark.parametrize("mode", ["dual_patch", "dual"])
+def test_training_trajectory_parity(rig, monkeypatch, tmp_path, mode):
+    head_pt = my_head = None
+    if mode == "dual":
+        # pretrained CXR-head ckpts, permuted labels ⇒ non-trivial keep_idx:
+        # torch layout (cxr_linear_training.ipynb cell 13) + this repo's
+        pre_labels = list(LABELS[::-1])
+        torch.manual_seed(77)
+        clf = torch.nn.Sequential(torch.nn.Dropout(0.1),
+                                  torch.nn.Linear(VIT_D, len(pre_labels)))
+        head_pt = str(tmp_path / "cxr_head.pt")
+        torch.save({"classifier_state_dict": clf.state_dict(),
+                    "label_cols": pre_labels,
+                    "num_classes": len(pre_labels)}, head_pt)
+        from multimodal_edema_prediction_tpu.train.checkpoint import \
+            save_checkpoint
+        my_head = str(tmp_path / "cxr_head.msgpack")
+        save_checkpoint(my_head, {"linear": dense_from(clf[1])}, {},
+                        step=0, metric=0.0,
+                        config={"label_cols": pre_labels})
+
+    captured = _run_reference(rig, monkeypatch, mode=mode, head_ckpt=head_pt)
     assert len(captured["steps"]) == EPOCHS          # full-batch: 1 step/epoch
     assert len(captured["vals"]) == EPOCHS + 1       # per-epoch val + test
 
@@ -327,7 +366,7 @@ def test_training_trajectory_parity(rig, monkeypatch, tmp_path):
                                   d_latent=D_LATENT, n_heads=N_PERC_HEADS,
                                   dropout=0.0, head_hidden=64,
                                   head_dropout=0.0),
-        d_img=VIT_D, perceiver_type="dual_patch", freeze_cxr=True)
+        d_img=VIT_D, perceiver_type=mode, freeze_cxr=True)
     cfg = TrainConfig(
         batch_size=n_train, epochs=EPOCHS, patience=0, seed=0,
         dtype="float32", n_data=1, n_model=1,
@@ -353,8 +392,13 @@ def test_training_trajectory_parity(rig, monkeypatch, tmp_path):
     bank_j = jnp.asarray(bank)
 
     init_model = captured["init_model"]
+    tm_kwargs = {}
+    if mode == "dual":
+        keep = [int(i) for i in init_model.cxr_head_keep_idx.numpy()]
+        tm_kwargs = {"n_pretrained_labels": len(LABELS),
+                     "static_keep_idx": tuple(keep)}
     template = init_teacher(
-        TeacherModel_like(teacher_cfg), teacher_cfg, n_train, T,
+        TeacherModel_like(teacher_cfg, **tm_kwargs), teacher_cfg, n_train, T,
         jax.random.key(0))
     variables = _transplant_init(init_model, rig["hf_vit"], teacher_cfg,
                                  template)
@@ -363,7 +407,7 @@ def test_training_trajectory_parity(rig, monkeypatch, tmp_path):
         mine, teacher_cfg, cfg, str(tmp_path / "jax_run"), LABELS,
         image_source=make_bank_image_source(bank_j),
         init_variables=jax.tree.map(jnp.asarray, variables),
-        prefetch_depth=0)
+        prefetch_depth=0, pretrained_head_ckpt=my_head)
 
     # ---- per-epoch branch-loss parity (deterministic ⇒ tight) ----------
     ref_losses = captured["steps"]
@@ -391,9 +435,9 @@ def test_training_trajectory_parity(rig, monkeypatch, tmp_path):
         f"test AUROC: ref={r_test:.4f} mine={m_test:.4f}")
 
 
-def TeacherModel_like(cfg):
+def TeacherModel_like(cfg, **kwargs):
     from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
-    return TeacherModel(cfg)
+    return TeacherModel(cfg, **kwargs)
 
 
 def test_lr_schedule_matches_torch_sequential():
