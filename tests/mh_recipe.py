@@ -110,6 +110,21 @@ def run_recipe(kind: str = "teacher", workdir: str = None) -> dict:
                             prefetch_depth=2)
         return _result(res)
 
+    if kind == "teacher_cached":
+        # encode-once tier under multi-process: per-host FEATURE
+        # partitioning (teacher_loop host-store branch) — each process
+        # encodes only its image_id % P == pid share into a HostFeatureStore
+        # and batches gather from the local partition; equivalence vs
+        # single-process proves the partitioned token gather feeds the step
+        # the same values.
+        tcfg, cfg = _tiny_teacher_cfgs()
+        _, _, anchor_ds = _cohort()
+        anchor_ds.host_partition_count = 2
+        res = train_teacher(anchor_ds, tcfg, cfg,
+                            os.path.join(workdir, "teacher_cached"), labels,
+                            prefetch_depth=2, feature_cache="host")
+        return _result(res)
+
     if kind == "teacher_orbax":
         # pod-scale state backend: orbax save/commit of replicated global
         # jax.Arrays is a COLLECTIVE — FullStateResumer.save must run on

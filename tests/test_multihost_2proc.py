@@ -51,7 +51,9 @@ def _run_two_proc(tmp_path, recipe: str):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=1500)
+        # generous bound: under a full-suite run on this 1-core host the two
+        # workers contend with each other (each ~2× slower than solo)
+        out, _ = p.communicate(timeout=2700)
         outs.append(out.decode(errors="replace"))
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
@@ -125,6 +127,16 @@ def test_two_process_orbax_state_backend(tmp_path):
     single = _run_single(tmp_path, "teacher_orbax")
     _assert_equivalent("teacher_orbax", r0, r1, single, "train_total")
     assert r0["orbax_state_saved"] and r1["orbax_state_saved"]
+
+
+@pytest.mark.slow
+def test_two_process_cached_features_matches_single_process(tmp_path):
+    """Encode-once tier under 2 processes: per-host FEATURE partitioning
+    (each host encodes only image_id % P == pid into its HostFeatureStore)
+    must train identically to single-process."""
+    r0, r1 = _run_two_proc(tmp_path, "teacher_cached")
+    single = _run_single(tmp_path, "teacher_cached")
+    _assert_equivalent("teacher_cached", r0, r1, single, "train_total")
 
 
 @pytest.mark.slow
