@@ -572,16 +572,38 @@ def measure_jpeg_decode_imgs_per_sec(n_images: int = 8,
 
 
 def main():
+    # Global deadline (BENCH_DEADLINE_S, default 90 min): remote-compile
+    # latency through the tunnel varies 100× between runs; bench must ALWAYS
+    # print its JSON line, so optional sections are skipped (not aborted)
+    # once the budget is spent. The headline section always runs.
+    t_main = time.time()
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "5400"))
+
+    def left():
+        return deadline - (time.time() - t_main)
+
+    def run_section(fn, min_left_s, *a, **kw):
+        if left() < min_left_s:
+            return {"skipped": f"deadline ({int(left())}s left, "
+                               f"needs ~{min_left_s}s)"}
+        try:
+            return fn(*a, **kw)
+        except Exception as e:   # keep the headline even if a section trips
+            return {"error": str(e)}
+
     # batch sweep (the reference trains at 128, run.py:83; v5e peaks at
     # 64/96), then repeat the winner and take the MEDIAN — single tunnel
     # timings drift ±5% (BENCH_r02 recorded e2e above the bare step)
     result = measure_jax_teacher(batch_size=64)
-    result96 = measure_jax_teacher(batch_size=96, n_steps=8)
-    result128 = measure_jax_teacher(batch_size=128, n_steps=6)
-    sweep = (result, result96, result128)
+    result96 = run_section(measure_jax_teacher, 1200, batch_size=96,
+                           n_steps=8)
+    result128 = run_section(measure_jax_teacher, 1200, batch_size=128,
+                            n_steps=6)
+    sweep = tuple(r for r in (result, result96, result128)
+                  if "samples_per_sec_per_chip" in r)
     best = max(sweep, key=lambda r: r["samples_per_sec_per_chip"])
     repeats = [best["samples_per_sec_per_chip"]]
-    for _ in range(2):
+    while len(repeats) < 3 and left() > 900:
         repeats.append(measure_jax_teacher(
             batch_size=best["batch_size"],
             n_steps=10)["samples_per_sec_per_chip"])
@@ -590,22 +612,16 @@ def main():
     best["samples_per_sec"] = best["samples_per_sec_per_chip"] * \
         best["n_chips"]
     best["mfu"] = best["mfu"] * best["samples_per_sec_per_chip"] / repeats[0]
-    try:
-        e2e_hbm = measure_e2e_image_pipeline("hbm")
-        e2e_u8 = measure_e2e_image_pipeline("u8cache")
-        e2e_mm = measure_e2e_image_pipeline("u8memmap")
-        e2e_jpeg = measure_e2e_image_pipeline("jpeg", n_steps=6)
-    except Exception as e:   # keep the headline even if the host path trips
-        e2e_hbm = e2e_u8 = e2e_mm = e2e_jpeg = {"error": str(e)}
-    try:
-        infer = measure_teacher_inference()
-    except Exception as e:
-        infer = {"error": str(e)}
-    try:
-        cached = measure_jax_teacher_cached(batch_sweep=(128, 256, 512))
-    except Exception as e:
-        cached = {"error": str(e)}
-    ssl_sps = measure_ssl_throughput()
+    e2e_hbm = run_section(measure_e2e_image_pipeline, 600, "hbm")
+    e2e_u8 = run_section(measure_e2e_image_pipeline, 500, "u8cache")
+    e2e_mm = run_section(measure_e2e_image_pipeline, 500, "u8memmap")
+    e2e_jpeg = run_section(measure_e2e_image_pipeline, 500, "jpeg", n_steps=6)
+    infer = run_section(measure_teacher_inference, 600)
+    cached = run_section(measure_jax_teacher_cached, 900,
+                         batch_sweep=(128, 256, 512))
+    ssl_sps = run_section(measure_ssl_throughput, 300)
+    if not isinstance(ssl_sps, float):
+        ssl_sps = float("nan")
     rows_per_sec = measure_preprocess_rows_per_sec()
     baseline = get_torch_baseline()
     ref = baseline["torch_cpu_teacher_samples_per_sec"]
@@ -627,9 +643,11 @@ def main():
             "samples_per_sec_per_chip_b64":
                 round(result["samples_per_sec_per_chip"], 3),
             "samples_per_sec_per_chip_b96":
-                round(result96["samples_per_sec_per_chip"], 3),
+                round(result96["samples_per_sec_per_chip"], 3)
+                if "samples_per_sec_per_chip" in result96 else result96,
             "samples_per_sec_per_chip_b128":
-                round(result128["samples_per_sec_per_chip"], 3),
+                round(result128["samples_per_sec_per_chip"], 3)
+                if "samples_per_sec_per_chip" in result128 else result128,
             "headline_repeats": [round(r, 2) for r in repeats],
             "mfu": round(best["mfu"], 4),
             "flops_per_sample": fps,
