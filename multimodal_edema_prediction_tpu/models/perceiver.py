@@ -232,9 +232,13 @@ class PathologyPerceiver(nn.Module):
     """'single' mode: 4-stage image→self→TS→self pathology-query perceiver
     emitting stage2 (image-only) and stage4 (multimodal) logits.
 
-    Reconstruction of the reference's commented ``PathologyPerceiver``
-    (models/main_architecture_duett.py:293-399), trained with
-    :func:`..ops.losses.pathology_multilabel_loss`.
+    Faithful to the reference's commented ``PathologyPerceiver``
+    (models/main_architecture_duett.py:293-399; commented in the checked-in
+    tree but with a live train_teacher dispatch, trainer.py:318-327):
+    per-label stage2/stage4 MLP ModuleLists (not shared heads + biases) and
+    the class's own ``ts_ablation='full'`` default (``cfg.ts_ablation`` is
+    the dual_patch knob and does not apply here, reference :346 vs :611).
+    Trained with :func:`..ops.losses.pathology_multilabel_loss`.
     """
     cfg: PerceiverConfig
     d_ts: int
@@ -244,7 +248,7 @@ class PathologyPerceiver(nn.Module):
                  train: bool = False, return_attn: bool = False,
                  ts_ablation: Optional[str] = None) -> dict:
         cfg = self.cfg
-        abl = ts_ablation or cfg.ts_ablation
+        abl = ts_ablation if ts_ablation is not None else "full"
         B = ts_tokens.shape[0]
         dtype = ts_tokens.dtype
         queries = self.param("pathology_queries",
@@ -252,7 +256,15 @@ class PathologyPerceiver(nn.Module):
                              (cfg.n_pathologies, cfg.d_latent), jnp.float32)
         q = jnp.broadcast_to(queries.astype(dtype),
                              (B, cfg.n_pathologies, cfg.d_latent))
-        ts_sel = ts_tokens[:, :-1, :] if abl == "hourly_only" else ts_tokens
+        if abl == "full":
+            ts_sel = ts_tokens
+        elif abl == "hourly_only":
+            ts_sel = ts_tokens[:, :-1, :]
+        elif abl == "rep_only":
+            ts_sel = ts_tokens[:, -1:, :]
+        else:
+            raise ValueError(f"unknown ts_ablation {abl!r}; expected one of "
+                             "{'full', 'hourly_only', 'rep_only'}")
         ts_kv = nn.Dense(cfg.d_latent, dtype=dtype, param_dtype=jnp.float32,
                          name="ts_proj")(ts_sel)
 
@@ -273,16 +285,12 @@ class PathologyPerceiver(nn.Module):
             h3, ts_attn = stage3(h2, ts_kv, train=train), None
         s4_tokens = stage4(h3, h3, train=train)
 
-        s2_bias = self.param("stage2_label_bias", nn.initializers.zeros,
-                             (cfg.n_pathologies,), jnp.float32)
-        s4_bias = self.param("stage4_label_bias", nn.initializers.zeros,
-                             (cfg.n_pathologies,), jnp.float32)
-        s2 = _Head(cfg.head_hidden, cfg.head_dropout, name="stage2_head")(
-            s2_tokens, train=train).squeeze(-1).astype(jnp.float32) \
-            + s2_bias[None, :]
-        s4 = _Head(cfg.head_hidden, cfg.head_dropout, name="stage4_head")(
-            s4_tokens, train=train).squeeze(-1).astype(jnp.float32) \
-            + s4_bias[None, :]
+        s2 = StackedLabelHeads(
+            cfg.n_pathologies, cfg.head_hidden, cfg.head_dropout,
+            name="stage2_heads")(s2_tokens, train=train).astype(jnp.float32)
+        s4 = StackedLabelHeads(
+            cfg.n_pathologies, cfg.head_hidden, cfg.head_dropout,
+            name="stage4_heads")(s4_tokens, train=train).astype(jnp.float32)
         out = {"stage2_logits": s2, "stage4_logits": s4,
                "stage2_tokens": s2_tokens, "stage4_tokens": s4_tokens}
         if return_attn:

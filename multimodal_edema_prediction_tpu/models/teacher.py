@@ -93,10 +93,14 @@ class TeacherModel(nn.Module):
                 cfg.perceiver, cfg.duett.d_representation, name="perceiver")(
                 ts_tokens, patches_proj, train=train, return_attn=return_attn)
         elif cfg.perceiver_type == "single":
+            # 37×37 patches → 7×7 adaptive pool FIRST (reference pools under
+            # cxr_return_patches before the pathology branch, :1158-1167),
+            # then project the 49 pooled tokens
+            img_tokens = adaptive_avg_pool_tokens(patches, 7)
             patches_proj = nn.Dense(cfg.perceiver.d_latent,
-                                    dtype=patches.dtype,
+                                    dtype=img_tokens.dtype,
                                     param_dtype=jnp.float32,
-                                    name="img_proj")(patches)
+                                    name="img_proj")(img_tokens)
             out = PathologyPerceiver(
                 cfg.perceiver, cfg.duett.d_representation, name="perceiver")(
                 ts_tokens, patches_proj, train=train, return_attn=return_attn)

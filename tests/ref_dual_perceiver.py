@@ -38,6 +38,81 @@ def _mk_head(d_latent: int, head_hidden: int, head_dropout: float):
     )
 
 
+class FaithfulPathologyPerceiver(nn.Module):
+    """Drop-in for the commented reference PathologyPerceiver (:293-399) —
+    'single' mode: query bank → image cross-attn → self → TS cross-attn →
+    self, per-label stage2/stage4 MLP heads, ts_ablation default 'full'.
+    Required by train_teacher's live 'single' dispatch (trainer.py:318-327).
+    """
+
+    def __init__(self, n_pathologies: int, d_ts: int, d_latent: int = 256,
+                 n_heads: int = 4, dropout: float = 0.1,
+                 head_hidden: int = 64, head_dropout: float = 0.1):
+        super().__init__()
+        block = REF["models"]._PerceiverBlock
+        self.n_pathologies = n_pathologies
+        self.d_latent = d_latent
+        self.queries = nn.Parameter(
+            torch.randn(n_pathologies, d_latent) * 0.02)
+        self.ts_proj = nn.Linear(d_ts, d_latent)
+        self.img_cross = block(d_latent, n_heads, dropout)
+        self.stage2_self = block(d_latent, n_heads, dropout)
+        self.ts_cross = block(d_latent, n_heads, dropout)
+        self.stage4_self = block(d_latent, n_heads, dropout)
+        self.stage2_heads = nn.ModuleList(
+            [_mk_head(d_latent, head_hidden, head_dropout)
+             for _ in range(n_pathologies)])
+        self.stage4_heads = nn.ModuleList(
+            [_mk_head(d_latent, head_hidden, head_dropout)
+             for _ in range(n_pathologies)])
+
+    def forward(self, ts_tokens: torch.Tensor,
+                img_patches_proj: torch.Tensor, return_attn: bool = False,
+                ts_ablation: str = "full") -> dict:
+        B = ts_tokens.size(0)
+        queries = self.queries.unsqueeze(0).expand(B, -1, -1)
+        if ts_ablation == "full":
+            ts_selected = ts_tokens
+        elif ts_ablation == "hourly_only":
+            ts_selected = ts_tokens[:, :-1, :]
+        elif ts_ablation == "rep_only":
+            ts_selected = ts_tokens[:, -1:, :]
+        else:
+            raise ValueError(f"unknown ts_ablation={ts_ablation!r}")
+        ts_kv = self.ts_proj(ts_selected)
+
+        img_attn = ts_attn = None
+        if return_attn:
+            img_tokens, img_attn = self.img_cross(queries, img_patches_proj,
+                                                  return_attn=True)
+        else:
+            img_tokens = self.img_cross(queries, img_patches_proj)
+        stage2_tokens = self.stage2_self(img_tokens, img_tokens)
+        if return_attn:
+            mm_tokens, ts_attn = self.ts_cross(stage2_tokens, ts_kv,
+                                               return_attn=True)
+        else:
+            mm_tokens = self.ts_cross(stage2_tokens, ts_kv)
+        stage4_tokens = self.stage4_self(mm_tokens, mm_tokens)
+
+        stage2_logits = torch.stack(
+            [h(stage2_tokens[:, i]).squeeze(-1)
+             for i, h in enumerate(self.stage2_heads)], dim=1)
+        stage4_logits = torch.stack(
+            [h(stage4_tokens[:, i]).squeeze(-1)
+             for i, h in enumerate(self.stage4_heads)], dim=1)
+        out = {
+            "stage2_logits": stage2_logits,
+            "stage4_logits": stage4_logits,
+            "stage2_tokens": stage2_tokens,
+            "stage4_tokens": stage4_tokens,
+        }
+        if return_attn:
+            out["img_attn"] = img_attn
+            out["ts_attn"] = ts_attn
+        return out
+
+
 class FaithfulDualPerceiver(nn.Module):
     """Drop-in for the commented reference DualPathologyPerceiver."""
 

@@ -281,6 +281,21 @@ def dual_perceiver_params(ref) -> dict:
     }
 
 
+def pathology_perceiver_params(ref) -> dict:
+    """FaithfulPathologyPerceiver (the reference's commented 'single' class,
+    :293-399) → flax PathologyPerceiver params tree."""
+    return {
+        "pathology_queries": t2n(ref.queries),
+        "ts_proj": dense_from(ref.ts_proj),
+        "img_cross": perceiver_block_from(ref.img_cross),
+        "img_self": perceiver_block_from(ref.stage2_self),
+        "ts_cross": perceiver_block_from(ref.ts_cross),
+        "ts_self": perceiver_block_from(ref.stage4_self),
+        "stage2_heads": stacked_heads_from(ref.stage2_heads),
+        "stage4_heads": stacked_heads_from(ref.stage4_heads),
+    }
+
+
 def bn_from(bn1d: nn.BatchNorm1d):
     """→ (params, stats) for the flax BatchNormLastDim inner BatchNorm_0."""
     params = {"scale": t2n(bn1d.weight), "bias": t2n(bn1d.bias)}

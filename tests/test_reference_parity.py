@@ -218,6 +218,38 @@ class TestPerceiverParity:
         assert corr_g > 0
 
     @pytest.mark.parametrize("abl", ["hourly_only", "full", "rep_only"])
+    def test_pathology_perceiver_single(self, abl):
+        """'single' perceiver vs the faithful torch transcription of the
+        reference's commented class (:293-399): 4-stage image→self→TS→self,
+        per-label stacked stage2/stage4 heads."""
+        from ref_dual_perceiver import FaithfulPathologyPerceiver
+        from multimodal_edema_prediction_tpu.models.perceiver import \
+            PathologyPerceiver
+        torch.manual_seed(0)
+        K, d_ts, d_lat, B, T1, N = 7, 120, 64, 3, 25, 49
+        ref = FaithfulPathologyPerceiver(
+            n_pathologies=K, d_ts=d_ts, d_latent=d_lat, n_heads=4,
+            dropout=0.1, head_hidden=32, head_dropout=0.1).eval()
+        randomize_module(ref, seed=9)
+        rng = np.random.default_rng(10)
+        ts_tokens = rng.normal(size=(B, T1, d_ts)).astype(np.float32)
+        img_proj = rng.normal(size=(B, N, d_lat)).astype(np.float32)
+        with torch.no_grad():
+            t_out = ref(torch.tensor(ts_tokens), torch.tensor(img_proj),
+                        return_attn=True, ts_ablation=abl)
+
+        from ref_harness import pathology_perceiver_params
+        cfg = PerceiverConfig(n_pathologies=K, d_latent=d_lat, n_heads=4,
+                              dropout=0.1, head_hidden=32, head_dropout=0.1)
+        mod = PathologyPerceiver(cfg, d_ts=d_ts)
+        params = jax.tree.map(jnp.asarray, pathology_perceiver_params(ref))
+        j_out = mod.apply({"params": params}, jnp.asarray(ts_tokens),
+                          jnp.asarray(img_proj), train=False,
+                          return_attn=True, ts_ablation=abl)
+        for k in ("stage2_logits", "stage4_logits", "img_attn", "ts_attn"):
+            assert_close(j_out[k], t_out[k], name=f"single_{k}")
+
+    @pytest.mark.parametrize("abl", ["hourly_only", "full", "rep_only"])
     def test_dual_pathology_perceiver(self, abl):
         """'dual' perceiver vs the faithful torch transcription of the
         reference's commented class (:659-741, vendored in

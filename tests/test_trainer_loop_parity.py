@@ -204,6 +204,11 @@ def _run_reference(rig, monkeypatch, mode="dual_patch", head_ckpt=None):
         from ref_dual_perceiver import FaithfulDualPerceiver
         monkeypatch.setattr(ref_trainer, "DualPathologyPerceiver",
                             FaithfulDualPerceiver)
+    if mode == "single":
+        # same situation for the 'single' class (dispatch :315-327)
+        from ref_dual_perceiver import FaithfulPathologyPerceiver
+        monkeypatch.setattr(ref_trainer, "PathologyPerceiver",
+                            FaithfulPathologyPerceiver)
 
     class _StubAutoModel:
         @staticmethod
@@ -257,6 +262,35 @@ def _run_reference(rig, monkeypatch, mode="dual_patch", head_ckpt=None):
                         batch_wrapper)
     monkeypatch.setattr(ref_trainer, "evaluate_dual_pathology", eval_wrapper)
 
+    # 'single' mode routes through the pathology batch fn + evaluator
+    orig_pbatch = ref_trainer.train_teacher_pathology_batch
+    orig_peval = ref_trainer.evaluate_pathology
+
+    def pbatch_wrapper(batch, teacher, path_loss_fn, optimizer, device,
+                       accelerator=None):
+        if captured["init_model"] is None:
+            un = accelerator.unwrap_model(teacher) if accelerator is not None \
+                else teacher
+            for m in un.modules():
+                if isinstance(m, torch.nn.Dropout):
+                    m.p = 0.0
+            captured["init_model"] = copy.deepcopy(un)
+        captured["lrs"].append([g["lr"] for g in optimizer.param_groups])
+        out = orig_pbatch(batch, teacher, path_loss_fn, optimizer, device,
+                          accelerator)
+        captured["steps"].append({k: float(out[k]) for k in
+                                  ("loss", "stage2_total", "stage4_total")})
+        return out
+
+    def peval_wrapper(teacher, loader, device, labels):
+        r = orig_peval(teacher, loader, device, labels)
+        captured["vals"].append(r)
+        return r
+
+    monkeypatch.setattr(ref_trainer, "train_teacher_pathology_batch",
+                        pbatch_wrapper)
+    monkeypatch.setattr(ref_trainer, "evaluate_pathology", peval_wrapper)
+
     # --- args via the reference's own parser ------------------------------
     # batch_size == n_train ⇒ full-batch (1 step/epoch, order cannot matter)
     argv = ["prog",
@@ -307,6 +341,13 @@ def _transplant_init(init_model, hf_vit, teacher_cfg, template):
                 "linear": dense_from(init_model.pretrained_cxr_head)},
             "perceiver": dual_perceiver_params(init_model.perceiver),
         }
+    elif teacher_cfg.perceiver_type == "single":
+        from ref_harness import pathology_perceiver_params
+        params = {
+            "img_proj": dense_from(init_model.img_proj),
+            "perceiver": pathology_perceiver_params(init_model.perceiver),
+            "cxr": cxr,
+        }
     else:
         params = {
             "img_proj": dense_from(init_model.img_proj),
@@ -326,7 +367,7 @@ def _transplant_init(init_model, hf_vit, teacher_cfg, template):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["dual_patch", "dual"])
+@pytest.mark.parametrize("mode", ["dual_patch", "dual", "single"])
 def test_training_trajectory_parity(rig, monkeypatch, tmp_path, mode):
     head_pt = my_head = None
     if mode == "dual":
@@ -411,12 +452,18 @@ def test_training_trajectory_parity(rig, monkeypatch, tmp_path, mode):
 
     # ---- per-epoch branch-loss parity (deterministic ⇒ tight) ----------
     ref_losses = captured["steps"]
+    if mode == "single":
+        key_pairs = (("loss", "train_total"),
+                     ("stage2_total", "train_stage2_total"),
+                     ("stage4_total", "train_stage4_total"))
+    else:
+        key_pairs = (("loss", "train_total"),
+                     ("img_total", "train_img_total"),
+                     ("ts_total", "train_ts_total"),
+                     ("fus_total", "train_fus_total"))
     for e in range(EPOCHS):
         h = result.history[e]
-        for ref_k, my_k in (("loss", "train_total"),
-                            ("img_total", "train_img_total"),
-                            ("ts_total", "train_ts_total"),
-                            ("fus_total", "train_fus_total")):
+        for ref_k, my_k in key_pairs:
             r, m = ref_losses[e][ref_k], h[my_k]
             assert abs(r - m) <= 2e-3 + 5e-3 * abs(r), (
                 f"epoch {e} {ref_k}: ref={r:.6f} mine={m:.6f}")
