@@ -37,8 +37,12 @@ def test_single_mode_forward_and_attn(rng):
     assert out["stage2_logits"].shape == (B, 4)
     assert out["stage4_logits"].shape == (B, 4)
     assert out["main_logit"].shape == (B,)
-    assert out["img_attn"].shape == (B, 4, 4)      # 2x2 patches
-    assert out["ts_attn"].shape == (B, 4, T)       # hourly_only
+    # faithful 'single' semantics: patches pool to 7x7 BEFORE the image
+    # projection (reference :1158-1167) and the class's own ts_ablation
+    # default is 'full' (:346), so attention spans 49 pooled tokens and
+    # all T+1 DuETT tokens
+    assert out["img_attn"].shape == (B, 4, 49)
+    assert out["ts_attn"].shape == (B, 4, T + 1)
 
 
 def test_single_mode_train_step(rng):
