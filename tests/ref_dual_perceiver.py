@@ -38,6 +38,40 @@ def _mk_head(d_latent: int, head_hidden: int, head_dropout: float):
     )
 
 
+class FaithfulTemporalPerceiver(nn.Module):
+    """Drop-in for the commented reference TemporalPerceiver, variant [3]
+    (:281-290) — the image-first latent interleave the legacy TeacherModel
+    path consumes with projected ``img_kv`` (:1179-1191). ``d_img`` is
+    accepted (trainer dispatch passes it, :331-339) but unused: variant 3
+    receives already-projected image kv."""
+
+    def __init__(self, d_ts: int, d_img: int, d_latent: int = 256,
+                 n_latents: int = 16, n_layers: int = 2, n_heads: int = 4,
+                 dropout: float = 0.1):
+        super().__init__()
+        block = REF["models"]._PerceiverBlock
+        self.d_latent = d_latent
+        self.n_latents = n_latents
+        self.latents = nn.Parameter(torch.randn(n_latents, d_latent) * 0.02)
+        self.ts_proj = nn.Linear(d_ts, d_latent)
+        self.ts_blocks = nn.ModuleList(
+            [block(d_latent, n_heads, dropout) for _ in range(n_layers)])
+        self.img_blocks = nn.ModuleList(
+            [block(d_latent, n_heads, dropout) for _ in range(n_layers)])
+        self.norm_out = nn.LayerNorm(d_latent)
+
+    def forward(self, ts_tokens: torch.Tensor,
+                img_kv: torch.Tensor) -> torch.Tensor:
+        B = ts_tokens.size(0)
+        ts_kv = self.ts_proj(ts_tokens)
+        latents = self.latents.unsqueeze(0).expand(B, -1, -1)
+        for ts_blk, img_blk in zip(self.ts_blocks, self.img_blocks):
+            latents = img_blk(latents, img_kv)   # image first (variant 3)
+            latents = ts_blk(latents, ts_kv)
+        latents = self.norm_out(latents)
+        return latents.mean(dim=1)
+
+
 class FaithfulPathologyPerceiver(nn.Module):
     """Drop-in for the commented reference PathologyPerceiver (:293-399) —
     'single' mode: query bank → image cross-attn → self → TS cross-attn →

@@ -296,6 +296,20 @@ def pathology_perceiver_params(ref) -> dict:
     }
 
 
+def temporal_perceiver_params(ref) -> dict:
+    """FaithfulTemporalPerceiver (the reference's commented 'legacy'
+    variant 3, :281-290) → flax TemporalPerceiver params tree."""
+    out = {
+        "latents": t2n(ref.latents),
+        "ts_proj": dense_from(ref.ts_proj),
+        "norm_out": ln_from(ref.norm_out),
+    }
+    for i, (tb, ib) in enumerate(zip(ref.ts_blocks, ref.img_blocks)):
+        out[f"ts_block_{i}"] = perceiver_block_from(tb)
+        out[f"img_block_{i}"] = perceiver_block_from(ib)
+    return out
+
+
 def bn_from(bn1d: nn.BatchNorm1d):
     """→ (params, stats) for the flax BatchNormLastDim inner BatchNorm_0."""
     params = {"scale": t2n(bn1d.weight), "bias": t2n(bn1d.bias)}

@@ -217,6 +217,33 @@ class TestPerceiverParity:
             g["correction_head"]["head"]["in"]["kernel"]).sum())
         assert corr_g > 0
 
+    def test_temporal_perceiver_legacy(self):
+        """'legacy' perceiver vs the faithful torch transcription of the
+        reference's commented variant-3 class (:281-290): image-first latent
+        interleave over projected img kv and DuETT tokens, mean-pooled."""
+        from ref_dual_perceiver import FaithfulTemporalPerceiver
+        from ref_harness import temporal_perceiver_params
+        from multimodal_edema_prediction_tpu.models.perceiver import \
+            TemporalPerceiver
+        torch.manual_seed(0)
+        d_ts, d_lat, B, T1, N = 120, 64, 3, 25, 50
+        ref = FaithfulTemporalPerceiver(
+            d_ts=d_ts, d_img=32, d_latent=d_lat, n_latents=16, n_layers=2,
+            n_heads=4, dropout=0.1).eval()
+        randomize_module(ref, seed=11)
+        rng = np.random.default_rng(12)
+        ts_tokens = rng.normal(size=(B, T1, d_ts)).astype(np.float32)
+        img_kv = rng.normal(size=(B, N, d_lat)).astype(np.float32)
+        with torch.no_grad():
+            t_out = ref(torch.tensor(ts_tokens), torch.tensor(img_kv))
+
+        cfg = PerceiverConfig(d_latent=d_lat, n_heads=4, dropout=0.1)
+        mod = TemporalPerceiver(cfg, d_ts=d_ts, n_latents=16, n_layers=2)
+        params = jax.tree.map(jnp.asarray, temporal_perceiver_params(ref))
+        j_out = mod.apply({"params": params}, jnp.asarray(ts_tokens),
+                          jnp.asarray(img_kv), train=False)
+        assert_close(j_out, t_out, name="legacy_fused")
+
     @pytest.mark.parametrize("abl", ["hourly_only", "full", "rep_only"])
     def test_pathology_perceiver_single(self, abl):
         """'single' perceiver vs the faithful torch transcription of the

@@ -209,6 +209,11 @@ def _run_reference(rig, monkeypatch, mode="dual_patch", head_ckpt=None):
         from ref_dual_perceiver import FaithfulPathologyPerceiver
         monkeypatch.setattr(ref_trainer, "PathologyPerceiver",
                             FaithfulPathologyPerceiver)
+    if mode == "legacy":
+        # and for the 'legacy' class (dispatch :329-340, variant 3)
+        from ref_dual_perceiver import FaithfulTemporalPerceiver
+        monkeypatch.setattr(ref_trainer, "TemporalPerceiver",
+                            FaithfulTemporalPerceiver)
 
     class _StubAutoModel:
         @staticmethod
@@ -291,6 +296,35 @@ def _run_reference(rig, monkeypatch, mode="dual_patch", head_ckpt=None):
                         pbatch_wrapper)
     monkeypatch.setattr(ref_trainer, "evaluate_pathology", peval_wrapper)
 
+    # 'legacy' mode routes through train_teacher_batch + evaluate_binary
+    captured["bin_vals"] = []
+    orig_lbatch = ref_trainer.train_teacher_batch
+    orig_beval = ref_trainer.evaluate_binary
+
+    def lbatch_wrapper(batch, teacher, loss_fn, optimizer, device,
+                       accelerator=None, aux_alpha=0.0):
+        if captured["init_model"] is None:
+            un = accelerator.unwrap_model(teacher) if accelerator is not None \
+                else teacher
+            for m in un.modules():
+                if isinstance(m, torch.nn.Dropout):
+                    m.p = 0.0
+            captured["init_model"] = copy.deepcopy(un)
+        captured["lrs"].append([g["lr"] for g in optimizer.param_groups])
+        out = orig_lbatch(batch, teacher, loss_fn, optimizer, device,
+                          accelerator, aux_alpha=aux_alpha)
+        captured["steps"].append({k: float(out[k]) for k in
+                                  ("loss", "main_loss", "aux_loss")})
+        return out
+
+    def beval_wrapper(model, loader, device, forward_fn):
+        r = orig_beval(model, loader, device, forward_fn)
+        captured["bin_vals"].append(r)
+        return r
+
+    monkeypatch.setattr(ref_trainer, "train_teacher_batch", lbatch_wrapper)
+    monkeypatch.setattr(ref_trainer, "evaluate_binary", beval_wrapper)
+
     # --- args via the reference's own parser ------------------------------
     # batch_size == n_train ⇒ full-batch (1 step/epoch, order cannot matter)
     argv = ["prog",
@@ -319,6 +353,14 @@ def _run_reference(rig, monkeypatch, mode="dual_patch", head_ckpt=None):
             "--wandb_disabled"]
     if mode == "dual":
         argv += ["--pretrained_cxr_head_ckpt", head_ckpt]
+    if mode == "legacy":
+        # align the reference's legacy knobs with this repo's fixed legacy
+        # geometry (models/teacher.py legacy branch: 2-layer 16-latent
+        # perceiver, 128-wide heads) and enable the aux CXR head — without
+        # patches+aux the variant-3 perceiver has no coherent input path
+        argv += ["--use_aux_cxr", "--aux_cxr_alpha", "0.5",
+                 "--n_perceiver_layers", "2", "--n_latents", "16",
+                 "--head_hidden", "128"]
     monkeypatch.setattr(sys, "argv", argv)
     args = ref_run.parse_teacher_args()
 
@@ -348,6 +390,17 @@ def _transplant_init(init_model, hf_vit, teacher_cfg, template):
             "perceiver": pathology_perceiver_params(init_model.perceiver),
             "cxr": cxr,
         }
+    elif teacher_cfg.perceiver_type == "legacy":
+        from ref_harness import temporal_perceiver_params
+        params = {
+            "img_proj": dense_from(init_model.img_proj),
+            "perceiver": temporal_perceiver_params(init_model.perceiver),
+            "head_in": dense_from(init_model.head[0]),
+            "head_out": dense_from(init_model.head[3]),
+            "aux_in": dense_from(init_model.aux_cxr_head[0]),
+            "aux_out": dense_from(init_model.aux_cxr_head[3]),
+            "cxr": cxr,
+        }
     else:
         params = {
             "img_proj": dense_from(init_model.img_proj),
@@ -367,7 +420,7 @@ def _transplant_init(init_model, hf_vit, teacher_cfg, template):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["dual_patch", "dual", "single"])
+@pytest.mark.parametrize("mode", ["dual_patch", "dual", "single", "legacy"])
 def test_training_trajectory_parity(rig, monkeypatch, tmp_path, mode):
     head_pt = my_head = None
     if mode == "dual":
@@ -390,7 +443,16 @@ def test_training_trajectory_parity(rig, monkeypatch, tmp_path, mode):
 
     captured = _run_reference(rig, monkeypatch, mode=mode, head_ckpt=head_pt)
     assert len(captured["steps"]) == EPOCHS          # full-batch: 1 step/epoch
-    assert len(captured["vals"]) == EPOCHS + 1       # per-epoch val + test
+    if mode == "legacy":
+        # per epoch: main + aux evaluate_binary; final test: main only
+        assert len(captured["bin_vals"]) == 2 * EPOCHS + 1
+        ref_vals = captured["bin_vals"][0:2 * EPOCHS:2] \
+            + [captured["bin_vals"][-1]]
+        val_key = "auroc"
+    else:
+        assert len(captured["vals"]) == EPOCHS + 1   # per-epoch val + test
+        ref_vals = captured["vals"]
+        val_key = "main_auroc"
 
     mine = rig["mine"]
     n_train = rig["n_train"]
@@ -456,6 +518,10 @@ def test_training_trajectory_parity(rig, monkeypatch, tmp_path, mode):
         key_pairs = (("loss", "train_total"),
                      ("stage2_total", "train_stage2_total"),
                      ("stage4_total", "train_stage4_total"))
+    elif mode == "legacy":
+        key_pairs = (("loss", "train_loss"),
+                     ("main_loss", "train_main_loss"),
+                     ("aux_loss", "train_aux_loss"))
     else:
         key_pairs = (("loss", "train_total"),
                      ("img_total", "train_img_total"),
@@ -470,14 +536,15 @@ def test_training_trajectory_parity(rig, monkeypatch, tmp_path, mode):
 
     # ---- per-epoch val AUROC parity ------------------------------------
     for e in range(EPOCHS):
-        r_auroc = captured["vals"][e]["main_auroc"]
+        r_auroc = ref_vals[e][val_key]
         m_auroc = result.history[e]["val_main_auroc"]
         assert abs(r_auroc - m_auroc) <= 0.06, (
             f"epoch {e} val AUROC: ref={r_auroc:.4f} mine={m_auroc:.4f}")
 
     # ---- final test AUROC parity ---------------------------------------
-    r_test = captured["vals"][-1]["main_auroc"]
-    m_test = result.test_metrics["main_auroc"]
+    r_test = ref_vals[-1][val_key]
+    m_test = result.test_metrics.get("main_auroc",
+                                     result.test_metrics.get("auroc"))
     assert abs(r_test - m_test) <= 0.06, (
         f"test AUROC: ref={r_test:.4f} mine={m_test:.4f}")
 
