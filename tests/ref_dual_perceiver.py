@@ -1,25 +1,21 @@
-"""Faithful torch ``DualPathologyPerceiver`` for the reference harness.
+"""Faithful torch transcriptions of the reference's COMMENTED perceivers.
 
-The reference's 'dual' perceiver class is COMMENTED OUT in its checked-in
-tree (``/root/reference/models/main_architecture_duett.py:659-741``), yet the
-reference's student-KD path hard-requires it: ``_build_teacher_from_ckpt``
-only accepts ``perceiver_type == 'dual'`` teachers and instantiates the class
-by name (``/root/reference/training_duett/trainer.py:778-800``, import guard
-``:42-44``). To run the reference's REAL ``train_student`` end to end for
-loop-level parity, this module transcribes the commented class faithfully —
-the same move as ``ref_encoder.FaithfulEncoder`` for the missing
-x_transformers dependency (endorsed in VERDICT r2 item 1). It lives in
-tests/ only and is injected via monkeypatch; the framework itself has its own
-TPU-native implementation (``models/perceiver.py::DualPathologyPerceiver``).
-
-Structure (from the commented source):
-  temporal_queries  ~ N(0, 0.02)                          [K, d_latent]
-  ts_proj           Linear(d_ts, d_latent)
-  ts_cross, ts_self _PerceiverBlock (the reference's LIVE class :745-774)
-  temporal_heads    ModuleList of K × Sequential(Linear(d, h), GELU,
-                    Dropout, Linear(h, 1))                 (ts_logits)
-  residual_heads    same shape                             (residuals)
-  fusion_logits = img_logits + residuals   (plain additive, no beta)
+Three of the reference's four teacher perceiver classes are commented out in
+its checked-in tree (``/root/reference/models/main_architecture_duett.py``:
+TemporalPerceiver :176-290, PathologyPerceiver :293-399,
+DualPathologyPerceiver :659-741), yet its trainers hard-require them:
+``train_teacher`` dispatches all four by name behind ImportError guards
+(``training_duett/trainer.py:38-44, 291-340``) and ``train_student`` only
+accepts 'dual' teachers (``:778-800``). To run the reference's REAL training
+loops end to end for loop-level parity, this module transcribes the
+commented classes faithfully — the same move as
+``ref_encoder.FaithfulEncoder`` for the missing x_transformers dependency
+(endorsed in VERDICT r2 item 1). They live in tests/ only and are injected
+via monkeypatch; the framework has its own TPU-native implementations in
+``models/perceiver.py``, unit-parity-tested against these in
+``test_reference_parity.py`` and loop-parity-tested through the reference's
+own trainers in ``test_trainer_loop_parity.py`` /
+``test_student_loop_parity.py``.
 """
 from __future__ import annotations
 
