@@ -76,13 +76,19 @@ def _make_steps(model, n_timesteps, dtype, pos_frac: Optional[float]):
 
 def _evaluate(eval_step, params, batch_stats, ds, split, batch_size,
               grid, static):
+    # iter_batches drops the incomplete remainder (fixed shapes); a split
+    # smaller than the batch would otherwise yield ZERO batches and a NaN
+    # metric that silently disables early stopping / best-ckpt selection
+    # (the bug class the SSL loop hit) — clamp to the split size instead
+    # (one extra compile at the clamped shape, eval-only).
+    n = ds.split_size(split)
+    if n == 0:
+        raise ValueError(f"{split} split is empty — cannot evaluate")
     logits, ys = [], []
-    for batch in ds.iter_batches(split, batch_size, shuffle=False):
+    for batch in ds.iter_batches(split, min(batch_size, n), shuffle=False):
         logits.append(np.asarray(eval_step(params, batch_stats, grid,
                                            static, batch)))
         ys.append(batch["y"])
-    if not logits:
-        return {"auroc": float("nan"), "auprc": float("nan")}
     return M.binary_metrics(np.concatenate(ys), np.concatenate(logits))
 
 
