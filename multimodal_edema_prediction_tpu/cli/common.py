@@ -111,6 +111,25 @@ def load_data(args, dcfg: DataConfig):
     return ds, meta, anchor_ds
 
 
+def sync_duett_with_meta(duett, meta, log=None):
+    """Reconcile model dims with the loaded cohort's meta.
+
+    A ``--data_dir`` cohort defines its own variable count and static width
+    (meta.n_variables / meta.d_static); the CLI's DuettConfig defaults are
+    sized for the synthetic cohort, so training a real cohort without this
+    sync fails with a param-shape error at the first apply (found by
+    driving cli.preprocess → cli.train_teacher end to end)."""
+    if (duett.n_variables, duett.d_static) != (meta.n_variables,
+                                               meta.d_static):
+        if log is not None:
+            log.info(f"model dims from meta: n_variables "
+                     f"{duett.n_variables}→{meta.n_variables}, d_static "
+                     f"{duett.d_static}→{meta.d_static}")
+        duett = duett.replace(n_variables=meta.n_variables,
+                              d_static=meta.d_static)
+    return duett
+
+
 def make_run_dir(base: str, cfg) -> str:
     run_dir = os.path.join(base, make_run_id(cfg))
     os.makedirs(run_dir, exist_ok=False)   # never overwrite a previous run

@@ -64,7 +64,8 @@ def main(argv=None):
                               n_variables=args.n_variables)
         meta = P.meta_from_events(ds, dcfg)
     ft_ds = build_stay_label_dataset(ds, meta, args.n_timesteps)
-    duett = DuettConfig(n_variables=args.n_variables,
+    duett = DuettConfig(n_variables=meta.n_variables,
+                        d_static=meta.d_static,
                         n_timesteps=args.n_timesteps,
                         d_embedding=args.d_embedding,
                         n_layers=args.n_duett_layers)

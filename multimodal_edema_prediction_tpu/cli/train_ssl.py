@@ -7,7 +7,7 @@ from ..data.sliding import build_sliding_ssl_dataset
 from ..train.ssl_loop import train_ssl
 from ..utils.logging import Logger
 from .common import add_common_flags, configs_from_args, load_data, \
-    make_run_dir
+    make_run_dir, sync_duett_with_meta
 
 
 def main(argv=None):
@@ -37,6 +37,7 @@ def main(argv=None):
     log = Logger("duett_ssl", args.wandb_project or None,
                  args.wandb_run_name or None, tcfg.to_dict())
     ds, meta, _ = load_data(args, dcfg)
+    duett = sync_duett_with_meta(duett, meta, log)
     ssl_ds = build_sliding_ssl_dataset(ds, meta, dcfg.n_timesteps,
                                        args.stride, args.max_stay_hours)
     res = train_ssl(ssl_ds, duett, tcfg, run_dir, lr=args.ssl_lr,

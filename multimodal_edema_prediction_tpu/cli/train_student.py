@@ -7,7 +7,7 @@ from ..config import StudentConfig
 from ..train.kd_loop import train_student_kd
 from ..utils.logging import Logger
 from .common import add_common_flags, configs_from_args, load_data, \
-    make_run_dir
+    make_run_dir, sync_duett_with_meta
 
 
 def main(argv=None):
@@ -47,6 +47,8 @@ def main(argv=None):
     log = Logger("student", args.wandb_project or None,
                  args.wandb_run_name or None, tcfg.to_dict())
     _, meta, anchor_ds = load_data(args, dcfg)
+    student_cfg = student_cfg.replace(
+        duett=sync_duett_with_meta(duett, meta, log))
     res = train_student_kd(anchor_ds, student_cfg, args.teacher_ckpt, tcfg,
                            run_dir, logger=log,
                            ssl_backbone_ckpt=args.duett_ckpt or None,

@@ -13,7 +13,7 @@ from ..train.ssl_loop import transplant_encoder
 from ..train.teacher_loop import init_teacher, train_teacher
 from ..utils.logging import Logger
 from .common import add_common_flags, configs_from_args, load_data, \
-    make_run_dir
+    make_run_dir, sync_duett_with_meta
 
 
 def main(argv=None):
@@ -125,6 +125,8 @@ def main(argv=None):
     log = Logger("teacher", args.wandb_project or None,
                  args.wandb_run_name or None, tcfg.to_dict())
     _, meta, anchor_ds = load_data(args, dcfg)
+    duett = sync_duett_with_meta(duett, meta, log)
+    teacher_cfg = teacher_cfg.replace(duett=duett)
 
     init_variables = None
     if args.duett_ckpt or args.vit_weights:

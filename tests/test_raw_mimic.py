@@ -1,0 +1,332 @@
+"""End-to-end L0: raw MIMIC-IV-layout tables → artifacts → training.
+
+The reference's offline preprocessing is six pandas notebooks that have
+only ever run on credentialed PHI. This test executes this repo's
+orchestrated equivalent (:mod:`multimodal_edema_prediction_tpu.data.
+raw_mimic` / ``cli/preprocess.py``) on a synthetic directory laid out like
+a raw MIMIC-IV + MIMIC-CXR download, then checks stage semantics against
+the notebook rules (groundwork cells 36-252, input_preprocess cells 71-94,
+cxr_db cells 19-53) and finally trains a tiny teacher on the produced
+cohort — proving raw-layout → cohort.npz → jitted training executes with
+no gaps. Only the real data is absent.
+"""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodal_edema_prediction_tpu.data import raw_mimic as rm
+
+H = np.timedelta64(1, "h")
+M = np.timedelta64(1, "m")
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+def _write(root, rel, df):
+    p = os.path.join(root, rel + ".csv")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    df.to_csv(p, index=False)
+
+
+def make_raw_layout(root, n_subjects=24, stay_hours=40, seed=0):
+    """Tiny raw cohort: one stay per subject, hourly vitals, labs with a
+    pre-ICU ward draw, an infusion + bolus, urine records, and 2 CXRs per
+    stay (one anchor-eligible at slot >= 24, plus a lateral that must be
+    dropped)."""
+    rng = np.random.default_rng(seed)
+    base = _ts("2150-03-01 08:00")
+    subs, hadms, stays = [], [], []
+    adm_rows, pat_rows, icu_rows = [], [], []
+    chart, lab, inputs, outputs = [], [], [], []
+    meta_rows, chex_rows = [], []
+
+    for i in range(n_subjects):
+        sid, hid, stid = 10 + i, 100 + i, 1000 + i
+        subs.append(sid)
+        hadms.append(hid)
+        stays.append(stid)
+        admit = base + i * np.timedelta64(3, "D")
+        intime = admit + 2 * H
+        outtime = intime + stay_hours * H
+        disch = outtime + 5 * H
+        died = i == 1
+        adm_rows.append({
+            "subject_id": sid, "hadm_id": hid, "admittime": admit,
+            "dischtime": disch,
+            "deathtime": disch if died else pd.NaT,
+            "admission_type": "EW EMER." if i % 2 else "ELECTIVE",
+            "admission_location": "EMERGENCY ROOM",
+            "discharge_location": "DIED" if died else "HOME",
+            "insurance": "Medicare", "marital_status": "SINGLE",
+            "race": "WHITE" if i % 3 else "BLACK/AFRICAN AMERICAN",
+            "hospital_expire_flag": int(died)})
+        pat_rows.append({
+            "subject_id": sid, "gender": "M" if i % 2 else "F",
+            "anchor_age": 50 + i, "anchor_year": 2150,
+            "dod": disch if died else pd.NaT})
+        icu_rows.append({
+            "subject_id": sid, "hadm_id": hid, "stay_id": stid,
+            "first_careunit": "Medical Intensive Care Unit (MICU)",
+            "last_careunit": "Medical Intensive Care Unit (MICU)",
+            "intime": intime, "outtime": outtime,
+            "los": stay_hours / 24.0})
+
+        for t in range(stay_hours):
+            ct = intime + t * H + 10 * M
+            chart.append({"subject_id": sid, "hadm_id": hid,
+                          "stay_id": stid, "charttime": ct,
+                          "itemid": 220045,
+                          "valuenum": 70 + 10 * np.sin(t / 5) + i,
+                          "valueuom": "bpm"})
+            if t % 4 == 0:   # temperature charted in Fahrenheit
+                chart.append({"subject_id": sid, "hadm_id": hid,
+                              "stay_id": stid, "charttime": ct,
+                              "itemid": 223761, "valuenum": 98.6 + 0.1 * i,
+                              "valueuom": "°F"})
+            if t % 2 == 0:   # arterial + noninvasive BP
+                sbp = 115 + rng.normal(0, 3)
+                dbp = 70 + rng.normal(0, 2)
+                for iid, v in ((220050, sbp), (220051, dbp)):
+                    chart.append({"subject_id": sid, "hadm_id": hid,
+                                  "stay_id": stid, "charttime": ct,
+                                  "itemid": iid, "valuenum": v,
+                                  "valueuom": "mmHg"})
+            if t % 6 == 0:   # complete GCS triple
+                for iid, v in ((220739, 4), (223900, 5), (223901, 6)):
+                    chart.append({"subject_id": sid, "hadm_id": hid,
+                                  "stay_id": stid, "charttime": ct,
+                                  "itemid": iid, "valuenum": v,
+                                  "valueuom": "points"})
+            if t % 3 == 0:   # SpO2 + FiO2 charted as a FRACTION
+                chart.append({"subject_id": sid, "hadm_id": hid,
+                              "stay_id": stid, "charttime": ct,
+                              "itemid": 220277, "valuenum": 96.0,
+                              "valueuom": "%"})
+                chart.append({"subject_id": sid, "hadm_id": hid,
+                              "stay_id": stid, "charttime": ct,
+                              "itemid": 223835, "valuenum": 0.40,
+                              "valueuom": "fraction"})
+
+        # an impossible heart rate that the criteria table must drop
+        chart.append({"subject_id": sid, "hadm_id": hid, "stay_id": stid,
+                      "charttime": intime + 5 * H + 20 * M,
+                      "itemid": 220045, "valuenum": 400.0,
+                      "valueuom": "bpm"})
+
+        # labs: sodium every 12 h in-ICU, one ward draw 6 h BEFORE intime
+        for t in range(0, stay_hours, 12):
+            lab.append({"subject_id": sid, "hadm_id": hid,
+                        "charttime": intime + t * H + 30 * M,
+                        "itemid": 50983, "valuenum": 140 + i,
+                        "valueuom": "mEq/L"})
+        lab.append({"subject_id": sid, "hadm_id": hid,
+                    "charttime": intime - 6 * H, "itemid": 50912,
+                    "valuenum": 1.0 + 0.1 * i, "valueuom": "mg/dL"})
+
+        # crystalloid: 4-hour infusion + an instantaneous bolus, in L once
+        inputs.append({"subject_id": sid, "hadm_id": hid, "stay_id": stid,
+                       "starttime": intime + 2 * H, "endtime": intime + 6 * H,
+                       "itemid": 225158, "amount": 1.0 if i == 0 else 1000.0,
+                       "amountuom": "L" if i == 0 else "ml"})
+        inputs.append({"subject_id": sid, "hadm_id": hid, "stay_id": stid,
+                       "starttime": intime + 10 * H + 15 * M,
+                       "endtime": intime + 10 * H + 15 * M,
+                       "itemid": 225158, "amount": 250.0,
+                       "amountuom": "ml"})
+
+        # urine foley records every 4 h
+        for t in range(4, stay_hours, 4):
+            outputs.append({"subject_id": sid, "hadm_id": hid,
+                            "stay_id": stid, "charttime": intime + t * H,
+                            "itemid": 226559, "value": 200.0 + 10 * i,
+                            "valueuom": "ml"})
+
+        # CXRs: anchor at slot 30 (AP), early one at slot 2 (PA),
+        # plus a LATERAL that the view filter must drop
+        for k, (view, slot) in enumerate(
+                (("AP", 30), ("PA", 2), ("LATERAL", 31))):
+            ct = intime + slot * H + 5 * M
+            meta_rows.append({
+                "subject_id": sid, "study_id": 5000 + 10 * i + k,
+                "dicom_id": f"im{i}_{k}", "ViewPosition": view,
+                "StudyDate": int(pd.Timestamp(ct).strftime("%Y%m%d")),
+                "StudyTime": float(pd.Timestamp(ct).strftime("%H%M%S"))})
+            row = {"subject_id": sid, "study_id": 5000 + 10 * i + k}
+            for j, c in enumerate(rm.CHEXPERT_TO_LABEL):
+                row[c] = float(rng.choice([0.0, 1.0, -1.0, np.nan],
+                                          p=[0.4, 0.4, 0.1, 0.1]))
+            row["Edema"] = float(i % 2)      # main target always labeled
+            chex_rows.append(row)
+
+    _write(root, "hosp/admissions", pd.DataFrame(adm_rows))
+    _write(root, "hosp/patients", pd.DataFrame(pat_rows))
+    _write(root, "hosp/labevents", pd.DataFrame(lab))
+    _write(root, "icu/icustays", pd.DataFrame(icu_rows))
+    _write(root, "icu/chartevents", pd.DataFrame(chart))
+    _write(root, "icu/inputevents", pd.DataFrame(inputs))
+    _write(root, "icu/outputevents", pd.DataFrame(outputs))
+    _write(root, "cxr/mimic-cxr-2.0.0-metadata", pd.DataFrame(meta_rows))
+    _write(root, "cxr/mimic-cxr-2.0.0-chexpert", pd.DataFrame(chex_rows))
+    return root
+
+
+@pytest.fixture(scope="module")
+def l0_run(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("raw"))
+    out = str(tmp_path_factory.mktemp("cohort"))
+    make_raw_layout(root)
+    paths = rm.run_l0(root, out)
+    return root, out, paths
+
+
+def _load_frame(paths, name):
+    p = paths[name]
+    return pd.read_feather(p) if p.endswith(".ftr") else pd.read_pickle(p)
+
+
+def test_artifacts_written(l0_run):
+    _, out, paths = l0_run
+    for k in ("static_full", "final_df", "final_cxr_df", "cohort", "meta"):
+        assert os.path.exists(paths[k]), k
+
+
+def test_variable_set_is_the_reference_34(l0_run):
+    _, _, paths = l0_run
+    final_df = _load_frame(paths, "final_df")
+    assert len(rm.ALL_VARS) == 34
+    for v, c in zip(rm.ALL_VARS, rm.ALL_COUNTS):
+        assert v in final_df.columns, v
+        assert c in final_df.columns, c
+    # dropped sparse/duplicate variables must NOT resurface
+    for v in ("Brain Natiuretic Peptide", "d-dimer", "hematocrit",
+              "sbp", "dbp"):
+        assert v not in final_df.columns
+
+
+def test_fahrenheit_converted(l0_run):
+    _, _, paths = l0_run
+    final_df = _load_frame(paths, "final_df")
+    obs = final_df[final_df["count_temperature"] > 0]["temperature"]
+    assert len(obs) > 0
+    # 98.6 °F = 37 °C; all charted temps were Fahrenheit
+    assert obs.between(36.5, 38.5).all()
+
+
+def test_fio2_percent_and_spo2_fio2(l0_run):
+    _, _, paths = l0_run
+    final_df = _load_frame(paths, "final_df")
+    fio2 = final_df[final_df["count_fio2"] > 0]["fio2"]
+    assert (fio2 == 40.0).all()          # 0.40 fraction → 40 %
+    sf = final_df[final_df["count_spo2_fio2"] > 0]["spo2_fio2"]
+    assert len(sf) > 0
+    np.testing.assert_allclose(sf, 96.0 / 0.40, rtol=1e-6)
+
+
+def test_outlier_heart_rate_dropped(l0_run):
+    _, _, paths = l0_run
+    final_df = _load_frame(paths, "final_df")
+    hr = final_df[final_df["count_heart_rate"] > 0]["heart_rate"]
+    assert hr.max() < 300.0
+
+
+def test_ward_lab_backfills_slot0(l0_run):
+    _, _, paths = l0_run
+    final_df = _load_frame(paths, "final_df")
+    # creatinine was ONLY drawn 6 h pre-ICU → appears at slot 0 with count 1
+    slot0 = final_df[(final_df["slot_idx"] == 0)
+                     & (final_df["count_creatinine"] > 0)]
+    assert len(slot0) > 0
+    assert (slot0["count_creatinine"] == 1).all()
+    assert (final_df[final_df["slot_idx"] > 0]["count_creatinine"]
+            == 0).all()
+
+
+def test_map_derived_from_sbp_dbp(l0_run):
+    _, _, paths = l0_run
+    final_df = _load_frame(paths, "final_df")
+    bp = final_df[final_df["count_map"] > 0]
+    assert len(bp) > 0
+    # only sbp/dbp were charted → MAP = (sbp + 2·dbp)/3 ∈ plausible band
+    assert bp["map"].between(70, 100).all()
+
+
+def test_gcs_summed_triples(l0_run):
+    _, _, paths = l0_run
+    final_df = _load_frame(paths, "final_df")
+    gcs = final_df[final_df["count_gcs"] > 0]["gcs"]
+    assert (gcs == 15.0).all()           # 4 + 5 + 6
+
+
+def test_fluid_distribution_and_unit_fix(l0_run):
+    _, _, paths = l0_run
+    final_df = _load_frame(paths, "final_df")
+    # subject 0 charted 1 L; unit fix → 1000 ml over 4 h ⇒ 250 ml/slot
+    s0 = final_df[final_df["stay_id"] == 1000]
+    infusion = s0[(s0["slot_idx"] >= 2) & (s0["slot_idx"] < 6)]
+    np.testing.assert_allclose(infusion["fluid_cumul"], 250.0, rtol=1e-6)
+    # the bolus lands entirely in its containing slot
+    bolus = s0[s0["slot_idx"] == 10]
+    np.testing.assert_allclose(bolus["fluid_cumul"], 250.0, rtol=1e-6)
+
+
+def test_urine_present(l0_run):
+    _, _, paths = l0_run
+    final_df = _load_frame(paths, "final_df")
+    assert (final_df["count_urine"] > 0).any()
+    assert (final_df["urine"] >= 0).all()
+
+
+def test_lateral_views_filtered_and_anchors_assigned(l0_run):
+    _, _, paths = l0_run
+    final_df = _load_frame(paths, "final_df")
+    cxr_df = _load_frame(paths, "final_cxr_df")
+    assert set(cxr_df["ViewPosition"]) <= {"AP", "PA"}
+    anchors = final_df[final_df["cxr_flag"] == 1]
+    assert not anchors["dicom_id"].str.endswith("_2").any()   # laterals out
+    # both in-stay frontal images got slots; the anchor one sits at 30
+    assert (anchors["slot_idx"] == 30).sum() > 0
+
+
+def test_death_label(l0_run):
+    _, _, paths = l0_run
+    static_df = _load_frame(paths, "static_full")
+    dead = static_df[static_df["subject_id"] == 11]
+    assert (dead["death_adm"] == 1).all()
+    assert (static_df[static_df["subject_id"] != 11]["death_adm"] == 0).all()
+
+
+def test_cohort_trains_end_to_end(l0_run):
+    """The produced cohort flows through load_artifacts →
+    build_anchor_dataset → the jitted supervised training loop with finite
+    losses — raw CSVs to TPU-style training with no manual glue."""
+    from multimodal_edema_prediction_tpu.config import (DataConfig,
+                                                        DuettConfig,
+                                                        OptimConfig,
+                                                        StudentConfig,
+                                                        TrainConfig)
+    from multimodal_edema_prediction_tpu.data.ingest import load_artifacts
+    from multimodal_edema_prediction_tpu.data import pipeline as P
+    from multimodal_edema_prediction_tpu.train.loops import (
+        train_supervised_ts)
+
+    _, out, _ = l0_run
+    cfg = DataConfig()
+    ds, meta = load_artifacts(out, cfg)
+    ads = P.build_anchor_dataset(ds, meta, cfg)
+    assert sum(len(v) for v in ads.splits.values()) > 0
+
+    duett = DuettConfig(n_variables=meta.n_variables, n_timesteps=24,
+                        d_static=meta.d_static, d_embedding=8, n_layers=1,
+                        d_feedforward=32, d_hidden_mlp_embedding=16,
+                        d_hidden_tab_encoder=16)
+    mcfg = StudentConfig(duett=duett, head_hidden=16)
+    tcfg = TrainConfig(batch_size=8, epochs=1, patience=2, dtype="float32",
+                       optim=OptimConfig(lr=1e-3, warmup_steps=2,
+                                         weight_decay=1e-4))
+    res = train_supervised_ts(ads, mcfg, tcfg,
+                              str(os.path.join(out, "run")))
+    assert len(res.history) >= 1
