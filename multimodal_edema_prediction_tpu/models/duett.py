@@ -83,9 +83,18 @@ class PretrainBatch(NamedTuple):
 def pretrain_prep_batch(rng: jax.Array, x_ts: jnp.ndarray,
                         masked_steps: int = 1,
                         pretrain_dropout: float = 0.5,
-                        predict_events: bool = True) -> PretrainBatch:
+                        predict_events: bool = True,
+                        mask_idx: Optional[jnp.ndarray] = None,
+                        event_var: Optional[jnp.ndarray] = None
+                        ) -> PretrainBatch:
     """jit-able SSL masking. Windows are always dense (n == T), so the
     reference's per-sample branch on n_timesteps collapses to uniform sampling.
+
+    ``mask_idx`` [B,S] / ``event_var`` [B] override the random draws with
+    caller-chosen masks — used by the loop-parity harness to transplant the
+    reference trainer's exact mask sequence (its masking comes from a
+    seeded numpy Generator, duett/duett.py:205-215, which no jax.random
+    stream can reproduce).
     """
     B, T, C = x_ts.shape
     V = C // 2
@@ -94,7 +103,10 @@ def pretrain_prep_batch(rng: jax.Array, x_ts: jnp.ndarray,
 
     values, counts = x_ts[..., :V], x_ts[..., V:]
     # -- timestep masking (with replacement, matching rng.choice default) --
-    mask_idx = jax.random.randint(r_steps, (B, S), 0, T)
+    if mask_idx is None:
+        mask_idx = jax.random.randint(r_steps, (B, S), 0, T)
+    else:
+        mask_idx = jnp.asarray(mask_idx, jnp.int32).reshape(B, S)
     take = lambda a: jnp.take_along_axis(  # noqa: E731
         a, mask_idx[..., None], axis=1)
     y_value = take(values)                               # [B,S,V]
@@ -106,7 +118,10 @@ def pretrain_prep_batch(rng: jax.Array, x_ts: jnp.ndarray,
     mask_col = row_masked[..., None].astype(x_ts.dtype)
 
     # -- event (variable) masking --
-    event_var = jax.random.randint(r_event, (B,), 0, V)
+    if event_var is None:
+        event_var = jax.random.randint(r_event, (B,), 0, V)
+    else:
+        event_var = jnp.asarray(event_var, jnp.int32).reshape(B)
     var_onehot = jax.nn.one_hot(event_var, V, dtype=x_ts.dtype)  # [B,V]
     y_events = jnp.einsum("btv,bv->bt", values, var_onehot)
     y_events_mask = jnp.clip(

@@ -103,7 +103,9 @@ def make_ssl_step(model, duett_cfg: DuettConfig, n_timesteps: int,
         times = batch["bin_ends"].astype(dtype)
         pb = pretrain_prep_batch(
             r_mask, x_ts, duett_cfg.pretrain_masked_steps,
-            duett_cfg.pretrain_dropout, duett_cfg.predict_events)
+            duett_cfg.pretrain_dropout, duett_cfg.predict_events,
+            mask_idx=batch.get("ssl_mask_idx"),
+            event_var=batch.get("ssl_event_var"))
         pb = pb._replace(x_in=pb.x_in.astype(dtype))
 
         def loss_fn(params):
@@ -418,7 +420,14 @@ def make_kd_step(student_model, teacher_model, cfg: TrainConfig,
 
 def make_ssl_eval(model, duett_cfg: DuettConfig, n_timesteps: int,
                   dtype=jnp.bfloat16):
-    """Validation loss with deterministic-per-batch masking rng."""
+    """Validation loss with deterministic-per-batch masking rng.
+
+    Reference quirk mirrored exactly (pinned by test_ssl_loop_parity):
+    ``validation_step`` omits the event-PRESENCE term that
+    ``training_step`` includes (duett/duett.py:394-399 vs :355-358), so the
+    min-val-loss checkpoint selection criterion is value + presence +
+    event-value only; the full-composition total is returned alongside as
+    ``total_all_terms``."""
     @jax.jit
     def step(params, batch_stats, grid, static, batch, rng):
         x_ts = gather_windows(grid, batch["stay_rows"], batch["slot_idx"],
@@ -427,7 +436,9 @@ def make_ssl_eval(model, duett_cfg: DuettConfig, n_timesteps: int,
         times = batch["bin_ends"].astype(dtype)
         pb = pretrain_prep_batch(
             rng, x_ts, duett_cfg.pretrain_masked_steps,
-            duett_cfg.pretrain_dropout, duett_cfg.predict_events)
+            duett_cfg.pretrain_dropout, duett_cfg.predict_events,
+            mask_idx=batch.get("ssl_mask_idx"),
+            event_var=batch.get("ssl_event_var"))
         pb = pb._replace(x_in=pb.x_in.astype(dtype))
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           pb, x_static, times, train=False)
@@ -439,6 +450,10 @@ def make_ssl_eval(model, duett_cfg: DuettConfig, n_timesteps: int,
             pretrain_presence=duett_cfg.pretrain_presence,
             presence_weight=duett_cfg.pretrain_presence_weight,
             predict_events=duett_cfg.predict_events)
+        parts = dict(parts)
+        parts["total_all_terms"] = parts["total"]
+        if duett_cfg.predict_events and duett_cfg.pretrain_presence:
+            parts["total"] = parts["total"] - parts["event_presence"]
         return parts
 
     return step

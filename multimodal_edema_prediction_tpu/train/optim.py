@@ -108,12 +108,15 @@ def simple_adamw(lr: float, weight_decay: float = 1e-2,
 
 
 def invsqrt_warmup(base_lr: float, warmup_steps: int = 2000) -> optax.Schedule:
-    """WarmUp callback equivalent (duett/train_duett_ssl.py:27-50):
-    lr = base · min(step⁻⁰·⁵, step · warmup⁻¹·⁵) · warmup⁰·⁵ normalized so the
-    peak equals base_lr at step == warmup."""
+    """WarmUp callback EXACT equivalent (duett/train_duett_ssl.py:27-50):
+    lr(s) = base·s/w for s < w, then base·(w/s)^0.5 (decay == warmup). The
+    first update (s == 0) has lr 0 — the reference callback sets it before
+    the step, so step 0 only seeds the Adam moments. Closed form:
+    base · w^0.5 · min(s^-0.5, s·w^-1.5), with s^-0.5 → inf at s = 0."""
     def sched(step):
-        s = jax.numpy.maximum(step.astype(jax.numpy.float32), 1.0)
+        s = step.astype(jax.numpy.float32)
         w = float(warmup_steps)
         return base_lr * (w ** 0.5) * jax.numpy.minimum(
-            s ** -0.5, s * w ** -1.5)
+            jax.numpy.where(s > 0, s, 1.0) ** -0.5 * (s > 0),
+            s * w ** -1.5)
     return sched

@@ -38,7 +38,8 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
               auto_resume: bool = False,
               save_full_state: Optional[bool] = None,
               state_backend: str = "msgpack",
-              stop_after_epochs: Optional[int] = None) -> TrainResult:
+              stop_after_epochs: Optional[int] = None,
+              init_variables: Optional[dict] = None) -> TrainResult:
     """Resume semantics identical to ``train_teacher``: epoch-boundary
     full-state saves + bit-exact ``auto_resume`` restore (the SSL pretrain
     is the longest job of the pipeline — 300 epochs in the reference's
@@ -65,10 +66,16 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
         y_events_mask=np.zeros((B, T), np.float32))
     x_static = np.zeros((B, duett_cfg.d_static), dtype)
     times = np.zeros((B, T), dtype)
-    init = jax.jit(model.init, out_shardings=meshlib.replicated(mesh)) \
-        if multi else jax.jit(model.init)
-    variables = init({"params": mh.maybe_raw_key(jax.random.key(cfg.seed))},
-                     pb, x_static, times)
+    if init_variables is not None:
+        # warm start / transplant (same contract as train_teacher's
+        # init_variables)
+        variables = init_variables
+    else:
+        init = jax.jit(model.init, out_shardings=meshlib.replicated(mesh)) \
+            if multi else jax.jit(model.init)
+        variables = init(
+            {"params": mh.maybe_raw_key(jax.random.key(cfg.seed))},
+            pb, x_static, times)
     params, batch_stats = variables["params"], variables["batch_stats"]
     log.info(f"SSL params: {param_count(params):,}")
 
