@@ -96,7 +96,15 @@ class PatchDualPathologyPerceiver(nn.Module):
     @nn.compact
     def __call__(self, ts_tokens: jnp.ndarray, img_patches_proj: jnp.ndarray,
                  train: bool = False, return_attn: bool = False,
-                 ts_ablation: Optional[str] = None) -> dict:
+                 ts_ablation: Optional[str] = None,
+                 token_eps: Optional[tuple] = None) -> dict:
+        """``token_eps=(eps_img, eps_ts)``: zero perturbations added to the
+        post-self-attention fusion tokens (I, T_k) right before the heads.
+        Differentiating the loss w.r.t. these at zero gives exactly
+        ∂loss/∂tokens — the JAX equivalent of the reference diagnostic's
+        ``torch.autograd.grad(loss, (img_tokens, ts_tokens))``
+        (analysis/grad_flow_diagnostics.py:389-419). Training never passes
+        it; only analysis/grad_flow_diagnostics.py does."""
         cfg = self.cfg
         abl = ts_ablation or cfg.ts_ablation
         if ts_tokens.ndim != 3:
@@ -137,6 +145,9 @@ class PatchDualPathologyPerceiver(nn.Module):
             img_attn = ts_attn = None
         I = img_self(I, I, train=train)
         Tk = ts_self(Tk, Tk, train=train)
+        if token_eps is not None:
+            I = I + token_eps[0].astype(I.dtype)
+            Tk = Tk + token_eps[1].astype(Tk.dtype)
 
         img_bias = self.param("image_label_bias", nn.initializers.zeros,
                               (cfg.n_pathologies,), jnp.float32)

@@ -55,7 +55,8 @@ class TeacherModel(nn.Module):
                  times: jnp.ndarray, pixel_values: Optional[jnp.ndarray],
                  train: bool = False, return_attn: bool = False,
                  keep_idx: Optional[jnp.ndarray] = None,
-                 cxr_feats: Optional[tuple] = None) -> dict:
+                 cxr_feats: Optional[tuple] = None,
+                 token_eps: Optional[tuple] = None) -> dict:
         if keep_idx is None and self.static_keep_idx is not None:
             keep_idx = jnp.asarray(self.static_keep_idx, jnp.int32)
         cfg = self.cfg
@@ -84,6 +85,9 @@ class TeacherModel(nn.Module):
             cls = jax.lax.stop_gradient(cls)
             patches = jax.lax.stop_gradient(patches)
 
+        if token_eps is not None and cfg.perceiver_type != "dual_patch":
+            raise ValueError("token_eps (fusion-token sensitivity hook) is "
+                             "only defined for perceiver_type='dual_patch'")
         if cfg.perceiver_type == "dual_patch":
             patches_proj = nn.Dense(cfg.perceiver.d_latent,
                                     dtype=patches.dtype,
@@ -91,7 +95,8 @@ class TeacherModel(nn.Module):
                                     name="img_proj")(patches)
             out = PatchDualPathologyPerceiver(
                 cfg.perceiver, cfg.duett.d_representation, name="perceiver")(
-                ts_tokens, patches_proj, train=train, return_attn=return_attn)
+                ts_tokens, patches_proj, train=train, return_attn=return_attn,
+                token_eps=token_eps)
         elif cfg.perceiver_type == "single":
             # 37×37 patches → 7×7 adaptive pool FIRST (reference pools under
             # cxr_return_patches before the pathology branch, :1158-1167),

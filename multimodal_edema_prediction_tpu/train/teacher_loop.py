@@ -618,13 +618,18 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                                 wb_t[f"train_eval/{nm}/{key}"] = r[key]
                 log.metrics(wb_t, epoch)
             # in-loop read-only gradient diagnostics (trainer.py:684-705)
-            if grad_diag_every > 0 and (epoch + 1) % grad_diag_every == 0:
+            if grad_diag_every > 0 and (epoch + 1) % grad_diag_every == 0 \
+                    and mode == "dual_patch":
                 from ..analysis.grad_flow_diagnostics import (
                     diagnostics_to_log_dict, format_report, run_diagnostics)
                 diag = run_diagnostics(model, state.params,
                                        state.batch_stats, dataset,
                                        image_source, "val", cfg.batch_size,
-                                       grad_diag_batches)
+                                       grad_diag_batches,
+                                       alphas=(cfg.alpha_img, cfg.alpha_ts,
+                                               cfg.alpha_fus),
+                                       label_weights=lw,
+                                       label_names=list(pathology_labels))
                 log.info("grad-flow diagnostics:\n" + format_report(diag))
                 log.metrics(diagnostics_to_log_dict(
                     diag, labels=list(pathology_labels)), epoch)

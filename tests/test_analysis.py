@@ -120,6 +120,35 @@ def test_grad_flow_diagnostics(teacher_ckpt, tmp_path):
     assert r["fus_px_input_grad"] < 1e-5
     assert r["ts_query_grad_norm"] > 0
     assert np.isfinite(r["query_gram_gap"])
+    # reference-depth report surface (grad_flow_diagnostics.py:575-608)
+    K = len(r["per_label"])
+    assert r["query_layout"] == "shared" and r["samples"] > 0
+    for b in ("img", "ts", "fus"):
+        item = r["branch"][b]
+        assert np.isfinite(item["loss"]) and item["raw_grad_norm"] >= 0
+        assert -1.001 <= item["cos_to_total_update"] <= 1.001
+    c = r["pairwise_gradient_cosine"]
+    assert 0.0 <= c["img_ts_negative_batch_fraction"] <= 1.0
+    # trained ckpt: the correction head is non-zero, so the fusion loss
+    # reaches the TS tokens; the stop-grad anchor blocks the image tokens
+    s = r["fusion_token_sensitivity"]
+    assert s["ts_raw"] > 0 and s["img_raw"] < 1e-7
+    assert s["scaled_img_over_ts"] < 1e-6
+    for item in r["per_label"]:
+        assert 0.0 <= item["img_own_query_fraction"] <= 1.0 + 1e-6
+        assert -1.001 <= item["img_ts_cos"] <= 1.001
+        assert item["valid_samples"] >= 0
+    g = r["query_geometry"]
+    assert np.asarray(g["raw_cosine"]).shape == (K, K)
+    assert np.asarray(g["image_effective_cosine"]).shape == (K, K)
+    assert np.isfinite(g["image_ts_gram_gap"])
+    # artifacts (reference :821-828)
+    assert (tmp_path / "grad_flow_report.txt").exists()
+    assert (tmp_path / "grad_flow_report.json").exists()
+    # the wandb flattener covers the new keys
+    ld = G.diagnostics_to_log_dict(r)
+    assert any(k.endswith("/cos_to_total_update") for k in ld)
+    assert all(np.isfinite(v) for v in ld.values())
 
 
 @pytest.mark.slow
