@@ -249,6 +249,18 @@ def main(argv=None):
     out = os.path.join(args.out_dir, "complementarity.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2, default=float)
+    # flat per-label CSV (reference complementarity.py:288-297)
+    import csv as _csv
+    rows = [{k: (json.dumps(v, default=float) if isinstance(v, (dict, list))
+                 else v) for k, v in r.items()}
+            for r in result["per_label"]]
+    fieldnames = sorted({k for r in rows for k in r},
+                        key=lambda k: (k != "label", k))
+    with open(os.path.join(args.out_dir, "complementarity.csv"), "w",
+              newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=fieldnames)
+        w.writeheader()
+        w.writerows(rows)
     for r in result["per_label"]:
         vc = r.get("venn_positives")
         if vc and sum(vc.values()) > 0:

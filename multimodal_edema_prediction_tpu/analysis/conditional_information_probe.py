@@ -159,7 +159,14 @@ def run_label(model, cfg, params, batch_stats, anchor_ds, image_source,
             "ci_lo": ci["lo"], "ci_hi": ci["hi"],
             "p_conditional_perm": p_perm,
             "evidence": grade_evidence(delta, ci["lo"], p_perm)})
-    return results
+    # per-sample eval-split archive (reference prediction_archive,
+    # conditional_information_probe.py:432, :555-557)
+    archive = {"y": ev["y"].astype(np.float32),
+               "subject_ids": ev["sid"]}
+    for name in PROBES:
+        archive[f"{name}_probability"] = (
+            1.0 / (1.0 + np.exp(-scores[name]))).astype(np.float32)
+    return results, archive
 
 
 def main(argv=None):
@@ -181,16 +188,26 @@ def main(argv=None):
     labels = dcfg.pathology_labels
     idxs = range(len(labels)) if args.label_idx < 0 else [args.label_idx]
     all_results = {}
+    csv_rows = []
+    archives = {}
+
+    def _slug(s: str) -> str:
+        import re
+        return re.sub(r"[^0-9A-Za-z._-]+", "_", s).strip("_") or "label"
+
     for li in idxs:
-        results = run_label(model, cfg, params, batch_stats, anchor_ds,
-                            image_source, args, li,
-                            feature_source=feature_source)
+        results, archive = run_label(model, cfg, params, batch_stats,
+                                     anchor_ds, image_source, args, li,
+                                     feature_source=feature_source)
         all_results[labels[li]] = results
+        for key, arr in archive.items():
+            archives[f"{_slug(labels[li])}_{key}"] = arr
         print(f"== {labels[li]} ==")
         print(f"{'probe':<18s} {'AUROC':>7s} {'dAUROC':>8s} "
               f"{'95% CI':>20s} {'p_perm':>7s}  evidence")
         for name in PROBES:
             r = results[name]
+            csv_rows.append({"label": labels[li], "probe": name, **r})
             if name == "image_cal":
                 print(f"{name:<18s} {r['auroc']:>7.4f}")
             else:
@@ -202,6 +219,19 @@ def main(argv=None):
     with open(os.path.join(args.out_dir,
                            "conditional_information_probe.json"), "w") as f:
         json.dump(all_results, f, indent=2, default=float)
+    # reference file outputs: per-probe CSV + per-sample probability archive
+    # (conditional_information_probe.py:575-582)
+    import csv as _csv
+    fieldnames = sorted({k for row in csv_rows for k in row},
+                        key=lambda k: (k not in ("label", "probe"), k))
+    with open(os.path.join(args.out_dir, "conditional_probe.csv"), "w",
+              newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=fieldnames)
+        w.writeheader()
+        w.writerows(csv_rows)
+    np.savez_compressed(
+        os.path.join(args.out_dir, "conditional_probe_predictions.npz"),
+        **archives)
     return all_results
 
 

@@ -195,7 +195,22 @@ def main(argv=None):
     out = os.path.join(args.out_dir, "temporal_usage.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2, default=float)
-    print(f"\nsaved → {out}")
+    # raw per-sample prediction archive (reference --output_npz payload,
+    # diagnose_temporal_usage.py:608-621) so downstream notebooks can
+    # re-slice the counterfactuals without re-running the model
+    payload = {
+        "subject_ids": pred["subject_ids"],
+        "labels": np.asarray(list(dcfg.pathology_labels)),
+        "y": pred["y"], "mask": pred["mask"],
+        "img_full": pred["img"],
+        "ts_attention_full": pred["attention"],
+    }
+    for cond in CONDITIONS:
+        payload[f"fus_{cond}"] = pred["fus"][cond]
+        payload[f"ts_{cond}"] = pred["ts"][cond]
+    npz_path = os.path.join(args.out_dir, "temporal_usage_predictions.npz")
+    np.savez_compressed(npz_path, **payload)
+    print(f"\nsaved → {out}\nsaved raw predictions → {npz_path}")
     return report
 
 

@@ -271,7 +271,17 @@ def run_label(xw_tr, img_tr, y_tr, xw_ev, img_ev, y_ev, sid_ev,
             "auroc": M.auroc(y_ev, cb.decision(img_ev, Xb_ev)),
             "null_selected": cb.null_selected,
         }
-    return results
+    # per-sample eval predictions for the archive (reference
+    # raw_trajectory_probe_predictions.npz, :1114)
+    archive = {
+        "y": y_ev.astype(np.float32),
+        "subject_ids": sid_ev,
+        "image_probability": (1.0 / (1.0 + np.exp(-img_ev))
+                              ).astype(np.float32),
+        "offset_logistic_probability": (1.0 / (1.0 + np.exp(-scores))
+                                        ).astype(np.float32),
+    }
+    return results, archive
 
 
 def main(argv=None):
@@ -328,6 +338,12 @@ def main(argv=None):
     labels = dcfg.pathology_labels
     idxs = range(len(labels)) if args.label_idx < 0 else [args.label_idx]
     all_results = {}
+    archives = {}
+
+    def _slug(s):
+        import re
+        return re.sub(r"[^0-9A-Za-z._-]+", "_", s).strip("_") or "label"
+
     for li in idxs:
         ktr = m_tr[:, li] > 0
         kev = m_ev[:, li] > 0
@@ -335,10 +351,13 @@ def main(argv=None):
                 len(np.unique(y_tr[ktr, li])) < 2:
             all_results[labels[li]] = {"skipped": "insufficient labels"}
             continue
-        results = run_label(xw_tr[ktr], img_tr[ktr, li], y_tr[ktr, li],
-                            xw_ev[kev], img_ev[kev, li], y_ev[kev, li],
-                            sid_ev[kev], args)
+        results, archive = run_label(
+            xw_tr[ktr], img_tr[ktr, li], y_tr[ktr, li],
+            xw_ev[kev], img_ev[kev, li], y_ev[kev, li],
+            sid_ev[kev], args)
         all_results[labels[li]] = results
+        for key, arr in archive.items():
+            archives[f"{_slug(labels[li])}_{key}"] = arr
         r = results["offset_logistic"]
         print(f"== {labels[li]} ==")
         print(f"{'image_only':<18s} {results['image_only']['auroc']:>7.4f}")
@@ -354,6 +373,30 @@ def main(argv=None):
     with open(os.path.join(args.out_dir, "raw_trajectory_probe.json"),
               "w") as f:
         json.dump(all_results, f, indent=2, default=float)
+    # reference file outputs (:1062-1114): flat per-probe CSV + per-sample
+    # probability archive
+    import csv as _csv
+    csv_rows = []
+    for label, res in all_results.items():
+        if "skipped" in res:
+            csv_rows.append({"label": label, "probe": "skipped"})
+            continue
+        for probe, r in res.items():
+            row = {"label": label, "probe": probe}
+            for k, v in r.items():
+                row[k] = (json.dumps(v, default=float)
+                          if isinstance(v, (dict, list)) else v)
+            csv_rows.append(row)
+    fieldnames = sorted({k for row in csv_rows for k in row},
+                        key=lambda k: (k not in ("label", "probe"), k))
+    with open(os.path.join(args.out_dir, "raw_trajectory_probe.csv"), "w",
+              newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=fieldnames)
+        w.writeheader()
+        w.writerows(csv_rows)
+    np.savez_compressed(
+        os.path.join(args.out_dir, "raw_trajectory_probe_predictions.npz"),
+        **archives)
     return all_results
 
 

@@ -136,7 +136,7 @@ def train_probe(anchor_ds, labels, n_vars: int, d_model: int = 128,
                 break
     test, test_rows = evaluate(jax.tree.map(jnp.asarray, best_params), "test")
     return {"val_macro_auroc": best, "test_macro_auroc": test,
-            "test_per_label": test_rows}
+            "test_per_label": test_rows, "best_params": best_params}
 
 
 def main(argv=None):
@@ -158,8 +158,25 @@ def main(argv=None):
         ref = REFERENCE_AUROCS.get(lbl, float("nan"))
         print(f"{lbl:<22s} {au:>7.4f} {ref:>7.3f} {au - ref:>+7.4f}")
     os.makedirs(args.out_dir, exist_ok=True)
+    # best-probe checkpoint + test metrics file (reference
+    # train_trajectory_probe.py:351-358, :378-379)
+    from flax import serialization
+    best_params = result.pop("best_params")
+    ckpt_path = os.path.join(args.out_dir, "trajectory_probe_best.msgpack")
+    with open(ckpt_path, "wb") as f:
+        f.write(serialization.to_bytes(best_params))
+    with open(ckpt_path + ".config.json", "w") as f:
+        json.dump({"labels": list(dcfg.pathology_labels),
+                   "d_model": args.d_model, "epochs": args.epochs,
+                   "lr": args.lr, "seed": args.seed,
+                   "val_macro_auroc": result["val_macro_auroc"]},
+                  f, indent=2, default=float)
     with open(os.path.join(args.out_dir, "trajectory_probe.json"), "w") as f:
         json.dump(result, f, indent=2, default=float)
+    with open(os.path.join(args.out_dir, "test_metrics.json"), "w") as f:
+        json.dump({"test_macro_auroc": result["test_macro_auroc"],
+                   "test_per_label": result["test_per_label"]},
+                  f, indent=2, default=float)
     return result
 
 

@@ -59,6 +59,12 @@ def test_diagnose_temporal_usage(teacher_ckpt, tmp_path):
     assert os.path.exists(tmp_path / "temporal_usage.json")
     # counterfactual TS must change the ts-branch logits
     assert report["conditions"]["patient_shuffle"]["mean_abs_dp_fus"] >= 0
+    # raw prediction archive (reference --output_npz payload, :608-621)
+    npz = np.load(tmp_path / "temporal_usage_predictions.npz",
+                  allow_pickle=False)
+    assert {"y", "mask", "img_full", "subject_ids"} <= set(npz.files)
+    for cond in D.CONDITIONS:
+        assert npz[f"fus_{cond}"].shape == npz["y"].shape
 
 
 @pytest.mark.slow
@@ -77,6 +83,12 @@ def test_complementarity(teacher_ckpt, tmp_path):
     # Venn figures emitted for labels with positives (reference :305-341)
     import glob
     assert glob.glob(str(tmp_path / "venn_*.png"))
+    # flat per-label CSV (reference :288-297)
+    import csv
+    with open(tmp_path / "complementarity.csv") as f:
+        csv_rows = list(csv.DictReader(f))
+    assert len(csv_rows) == len(result["per_label"])
+    assert "label" in csv_rows[0]
 
 
 @pytest.mark.slow

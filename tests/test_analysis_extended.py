@@ -57,6 +57,16 @@ def test_conditional_information_probe(teacher_ckpt, tmp_path):
         r = results["label_edema"][name]
         assert r["evidence"] in {"supported", "suggestive", "not_detected"}
         assert np.isfinite(r["p_conditional_perm"])
+    # reference file outputs (:575-582): CSV + per-sample probabilities
+    import csv
+    with open(tmp_path / "conditional_probe.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert {r["probe"] for r in rows} == set(C.PROBES)
+    npz = np.load(tmp_path / "conditional_probe_predictions.npz")
+    assert "label_edema_y" in npz.files
+    p = npz["label_edema_image_cal_probability"]
+    assert p.shape == npz["label_edema_y"].shape
+    assert np.all((p >= 0) & (p <= 1))
 
 
 @pytest.mark.slow
@@ -90,6 +100,15 @@ def test_trajectory_probe_trains(tmp_path):
                      "--epochs", "3", "--d_model", "32"])
     assert np.isfinite(result["test_macro_auroc"])
     assert result["val_macro_auroc"] > 0.45
+    # best-probe checkpoint + test metrics file (reference :351-358, :378)
+    from flax import serialization
+    import os
+    ckpt = tmp_path / "trajectory_probe_best.msgpack"
+    assert os.path.exists(ckpt) and os.path.exists(
+        tmp_path / "test_metrics.json")
+    blob = open(ckpt, "rb").read()
+    restored = serialization.msgpack_restore(blob)
+    assert "encoder" in restored and "pathology_queries" in restored
 
 
 @pytest.mark.slow
