@@ -76,6 +76,75 @@ def _sync(x) -> float:
     return float(leaf)
 
 
+def compile_once(step, *args):
+    """Lower + compile the jitted ``step`` ONCE and return
+    ``(callable, flops_per_step)``, reusing the compiled executable for the
+    timing loop.
+
+    Rationale: the tunneled TPU backend does not serialize large
+    executables into the persistent JAX compilation cache, so letting the
+    cost-analysis ``.compile()`` and the first jitted call each pay a full
+    remote compile DOUBLES bench compile wall-time. On any failure this
+    degrades to ``(step, nan)`` — the plain jitted-call path.
+
+    With ``BENCH_AOT_CACHE=1`` the compiled executable is additionally
+    pickled to disk (``jax.experimental.serialize_executable``) keyed by
+    (jax version, device kind, n_chips, sha256 of the lowered StableHLO)
+    and reused across bench INVOCATIONS — lowering is host-side and cheap;
+    only the remote backend compile is skipped. Opt-in because a
+    deserialized executable must match the live topology exactly; the key
+    covers it, but the default path stays the always-correct one.
+    """
+    import hashlib
+    import pickle
+
+    import jax
+
+    flops = float("nan")
+    try:
+        lowered = step.lower(*args)
+    except Exception:
+        return step, flops
+    compiled, cache_path = None, None
+    if os.environ.get("BENCH_AOT_CACHE") == "1":
+        try:
+            devs = jax.devices()
+            key_src = "\x00".join([jax.__version__, devs[0].device_kind,
+                                   str(len(devs)), lowered.as_text()])
+            digest = hashlib.sha256(key_src.encode()).hexdigest()[:32]
+            cdir = os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"],
+                                "aot")
+            os.makedirs(cdir, exist_ok=True)
+            cache_path = os.path.join(cdir, digest + ".aotx")
+            if os.path.exists(cache_path):
+                from jax.experimental.serialize_executable import \
+                    deserialize_and_load
+                with open(cache_path, "rb") as f:
+                    payload, in_tree, out_tree = pickle.load(f)
+                compiled = deserialize_and_load(payload, in_tree, out_tree)
+        except Exception:
+            compiled, cache_path = None, None
+    if compiled is None:
+        try:
+            compiled = lowered.compile()
+        except Exception:
+            return step, flops
+        if cache_path is not None:
+            try:
+                from jax.experimental.serialize_executable import serialize
+                with open(cache_path, "wb") as f:
+                    pickle.dump(serialize(compiled), f)
+            except Exception:
+                pass
+    try:
+        cost = compiled.cost_analysis()
+        if cost and "flops" in cost:
+            flops = float(cost["flops"])
+    except Exception:
+        pass
+    return compiled, flops
+
+
 def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
                         warmup: int = 3, image_bank_size: int = 32) -> dict:
     import jax
@@ -139,23 +208,20 @@ def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
         }, mesh)
 
         key = jax.random.key(1)
-        # XLA's own FLOP count for the whole fused step → honest MFU
-        flops_per_step = float("nan")
-        try:
-            cost = step.lower(state, grid, static, batch,
-                              key).compile().cost_analysis()
-            if cost and "flops" in cost:
-                flops_per_step = float(cost["flops"])
-        except Exception:
-            pass
+        # compile ONCE (reused for the timing loop) + XLA's own FLOP count
+        # for the whole fused step → honest MFU
+        run, flops_per_step = compile_once(step, state, grid, static, batch,
+                                           key)
+        out = None
         for i in range(warmup):
             key, sub = jax.random.split(key)
-            state, out = step(state, grid, static, batch, sub)
-        _sync(out["total"])
+            state, out = run(state, grid, static, batch, sub)
+        if out is not None:   # warmup=0: nothing in flight to wait for
+            _sync(out["total"])
         t0 = time.time()
         for i in range(n_steps):
             key, sub = jax.random.split(key)
-            state, out = step(state, grid, static, batch, sub)
+            state, out = run(state, grid, static, batch, sub)
         _sync(out["total"])
         dt = time.time() - t0
 
