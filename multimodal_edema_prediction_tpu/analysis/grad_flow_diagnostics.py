@@ -81,20 +81,53 @@ def _effective_queries(block_params: dict, q: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _query_banks(perc: dict):
+    """→ (names tuple, stacked banks [NB, K, D]). Shared layout (active
+    reference, ``shared_queries``) or the independent two-bank layout of the
+    event variant (reference ``_find_pathology_query_banks``, :70-90:
+    image_queries + temporal_queries preferred, shared as fallback)."""
+    if "shared_queries" in perc:
+        return ("shared_queries",), jnp.asarray(
+            perc["shared_queries"], jnp.float32)[None]
+    return ("image_queries", "temporal_queries"), jnp.stack(
+        [jnp.asarray(perc["image_queries"], jnp.float32),
+         jnp.asarray(perc["temporal_queries"], jnp.float32)])
+
+
+def _effective_event_queries(event_cross: dict, q: jnp.ndarray
+                             ) -> jnp.ndarray:
+    """event_query_norm(event_query_proj(q)) — the event variant's TS query
+    path (reference grad_flow_diagnostics.py:563-571; the analysis suite
+    dispatches on the presence of ``event_query_proj``)."""
+    proj = event_cross["event_query_proj"]
+    h = q @ proj["kernel"]
+    if "bias" in proj:
+        h = h + proj["bias"]
+    ln = event_cross["event_query_norm"]
+    mu = h.mean(axis=-1, keepdims=True)
+    var = ((h - mu) ** 2).mean(axis=-1, keepdims=True)
+    return ((h - mu) / jnp.sqrt(var + 1e-6)) * ln["scale"] + ln["bias"]
+
+
 def query_geometry(params: dict) -> dict:
     """Deterministic at the checkpoint — no loader averaging needed
     (reference :551-573)."""
     perc = params["perceiver"]
-    q = jnp.asarray(perc["shared_queries"], jnp.float32)
-    K = q.shape[0]
-    raw_gram = _cosine_matrix(q)
-    img_eff = _effective_queries(perc["img_cross"], q)
-    ts_eff = _effective_queries(perc["ts_cross"], q)
+    names, banks = _query_banks(perc)
+    img_q, ts_q = banks[0], banks[-1]
+    K = ts_q.shape[0]
+    raw_gram = _cosine_matrix(ts_q)
+    img_eff = _effective_queries(perc["img_cross"], img_q)
+    if "event_cross" in perc:
+        ts_eff = _effective_event_queries(perc["event_cross"], ts_q)
+    else:
+        ts_eff = _effective_queries(perc["ts_cross"], ts_q)
     img_gram = _cosine_matrix(img_eff)
     ts_gram = _cosine_matrix(ts_eff)
     gap = jnp.linalg.norm(img_gram - ts_gram) / K
     return {
-        "prototype_norms": np.linalg.norm(np.asarray(q), axis=-1).tolist(),
+        "prototype_norms": np.linalg.norm(np.asarray(ts_q),
+                                          axis=-1).tolist(),
         "raw_cosine": np.asarray(raw_gram).tolist(),
         "image_effective_cosine": np.asarray(img_gram).tolist(),
         "ts_effective_cosine": np.asarray(ts_gram).tolist(),
@@ -127,8 +160,8 @@ def make_diag_step(model, image_source: Callable, label_weights=None):
         y, mask = batch["y_multi"], batch["y_multi_mask"]
         x_in, xs = feats_to_input(None, x_ts, x_static)
         params = variables["params"]
-        q0 = params["perceiver"]["shared_queries"]
-        K, D = q0.shape
+        bank_names, q0 = _query_banks(params["perceiver"])
+        _, K, D = q0.shape                      # [NB, K, D]
         B = y.shape[0]
         lw = (jnp.ones(K, jnp.float32) if label_weights is None
               else jnp.asarray(label_weights, jnp.float32))
@@ -136,7 +169,8 @@ def make_diag_step(model, image_source: Callable, label_weights=None):
 
         def f(q, eps_i, eps_t):
             p = dict(params)
-            p["perceiver"] = dict(p["perceiver"]) | {"shared_queries": q}
+            p["perceiver"] = dict(p["perceiver"]) | {
+                name: q[i] for i, name in enumerate(bank_names)}
             m, out = _per_label_mat(
                 {"params": p, "batch_stats": variables["batch_stats"]},
                 x_in, xs, times, pixels, y, mask, lw, (eps_i, eps_t))
@@ -144,7 +178,7 @@ def make_diag_step(model, image_source: Callable, label_weights=None):
 
         (jac_q, jac_ei, jac_et), (wper, fwd_out) = jax.jacrev(
             f, argnums=(0, 1, 2), has_aux=True)(q0, eps0, eps0)
-        # jac_q: [3, K_label, K_query, D]; jac_e*: [3, K_label, B, K, D]
+        # jac_q: [3, K_label, NB, K_query, D]; jac_e*: [3, K_label, B, K, D]
 
         out = {"wper": wper,                                   # [3, K]
                "jac_q": jac_q,
@@ -196,9 +230,10 @@ def run_diagnostics(model, params, batch_stats, anchor_ds, image_source,
                     alphas: tuple = (0.5, 0.5, 1.0),
                     label_weights=None,
                     label_names: Optional[Sequence[str]] = None) -> dict:
-    if getattr(model.cfg, "perceiver_type", "dual_patch") != "dual_patch":
+    if getattr(model.cfg, "perceiver_type", "dual_patch") not in (
+            "dual_patch", "dual_patch_event"):
         raise ValueError(
-            f"grad-flow diagnostics target the dual_patch teacher (got "
+            f"grad-flow diagnostics target the patch teacher modes (got "
             f"perceiver_type={model.cfg.perceiver_type!r}) — the reference "
             "CLI enforces the same (grad_flow_diagnostics.py:782-783)")
     step = make_diag_step(model, image_source, label_weights)
@@ -235,12 +270,16 @@ def run_diagnostics(model, params, batch_stats, anchor_ds, image_source,
         raise RuntimeError("the diagnostic split yielded no full batches")
 
     K = sums["jac_q"].shape[1]
+    n_banks = sums["jac_q"].shape[2]
+    # per-branch "own" query bank: image branch reads bank 0, ts/fus the
+    # last (with the shared layout NB=1 they coincide — reference :70-90)
+    bank_of = {"img": 0, "ts": n_banks - 1, "fus": n_banks - 1}
     if label_names is None:
         label_names = [f"label_{k}" for k in range(K)]
     alphas_d = dict(zip(BRANCHES, alphas))
 
-    mean_jac = sums["jac_q"] / nb                    # [3, K, K, D]
-    mean_agg = mean_jac.sum(axis=1)                  # [3, K, D]
+    mean_jac = sums["jac_q"] / nb                    # [3, K, NB, K, D]
+    mean_agg = mean_jac.sum(axis=1)                  # [3, NB, K, D]
     losses = sums["wper"].sum(axis=1) / nb           # [3]
     valid = sums["valid_per_label"]                  # [K]
 
@@ -280,10 +319,10 @@ def run_diagnostics(model, params, batch_stats, anchor_ds, image_source,
     for k in range(K):
         g = {b: mean_jac[j, k] for j, b in enumerate(BRANCHES)}
         full = {b: norm(g[b]) for b in BRANCHES}
-        # image supervision and the residual fusion share the single query
-        # bank (the reference's active shared_queries layout, :561-607):
-        # own row = query row k for every branch
-        own = {b: float(np.linalg.norm(mean_jac[j, k, k]))
+        # own row = query row k in the branch's own bank (shared layout:
+        # the single bank; independent layout: img→image_queries,
+        # ts/fus→temporal_queries)
+        own = {b: float(np.linalg.norm(mean_jac[j, k, bank_of[b], k]))
                for j, b in enumerate(BRANCHES)}
         total_k = sum(alphas_d[b] * g[b] for b in BRANCHES)
         vk = max(float(valid[k]), 1.0)
@@ -314,8 +353,9 @@ def run_diagnostics(model, params, batch_stats, anchor_ds, image_source,
         else params)
 
     report = {
-        "query_parameter": "perceiver/shared_queries",
-        "query_layout": "shared",
+        "query_parameter": "perceiver/shared_queries" if n_banks == 1 else
+        "perceiver/image_queries+perceiver/temporal_queries",
+        "query_layout": "shared" if n_banks == 1 else "independent",
         "batches": nb,
         "samples": n_samples,
         "n_batches": nb,   # legacy key
@@ -347,8 +387,8 @@ def run_diagnostics(model, params, batch_stats, anchor_ds, image_source,
     report["ts_fus_query_grad_cos"] = report[
         "pairwise_gradient_cosine"]["ts_fus"]
     report["query_gram_gap"] = geometry["query_gram_gap"]
-    img_rows = np.linalg.norm(mean_agg[0], axis=-1)
-    ts_rows = np.linalg.norm(mean_agg[1], axis=-1)
+    img_rows = np.linalg.norm(mean_agg[0, bank_of["img"]], axis=-1)
+    ts_rows = np.linalg.norm(mean_agg[1, bank_of["ts"]], axis=-1)
     report["per_label_img_query_grad"] = img_rows.tolist()
     report["per_label_ts_query_grad"] = ts_rows.tolist()
     report["per_label_img_dominance"] = (

@@ -37,6 +37,12 @@ def _collect(model, params, batch_stats, anchor_ds, split, batch_size,
                            "fus", "y", "mask", "image_ids")}
     n = min(len(idx_all) - len(idx_all) % batch_size,
             max_batches * batch_size)
+    if n == 0:
+        raise SystemExit(
+            f"split '{split}' has {len(idx_all)} anchors < batch_size="
+            f"{batch_size}: no full batch to visualize — lower --batch_size "
+            f"or use a larger cohort")
+    uses_event = False
     for i in range(0, n, batch_size):
         idx = idx_all[i:i + batch_size]
         x_ts, x_static = gather_host_windows(anchor_ds, idx)
@@ -48,7 +54,11 @@ def _collect(model, params, batch_stats, anchor_ds, split, batch_size,
                      (len(idx), anchor_ds.n_timesteps))}
         o = eval_step(params, batch_stats, x_ts, x_static, batch)
         acc["img_attn"].append(np.asarray(o["img_attn"]))
-        acc["ts_attn"].append(np.asarray(o["ts_attn"]))
+        # event variant outputs per-variable ``event_attn`` instead of the
+        # per-hour ``ts_attn`` (reference visualize_pathology.py:291-292
+        # selects by the presence of event_query_proj)
+        acc["ts_attn"].append(np.asarray(
+            o["event_attn"] if "event_attn" in o else o["ts_attn"]))
         acc["fus_tok"].append(np.asarray(o["fusion_tokens"]))
         acc["img"].append(np.asarray(o["img_logits"]))
         acc["ts"].append(np.asarray(o["ts_logits"]))
@@ -56,7 +66,10 @@ def _collect(model, params, batch_stats, anchor_ds, split, batch_size,
         acc["y"].append(a["y_multi"][idx])
         acc["mask"].append(a["y_multi_mask"][idx])
         acc["image_ids"].append(a["image_ids"][idx])
-    return {k: np.concatenate(v) for k, v in acc.items()}
+        uses_event = "event_attn" in o
+    res = {k: np.concatenate(v) for k, v in acc.items()}
+    res["attn_axis"] = "variable" if uses_event else "hour"
+    return res
 
 
 def plot_attention_overlays(data, labels, image_size, out_dir,
@@ -93,12 +106,13 @@ def plot_ts_attention_heatmap(data, labels, out_dir):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    mean_attn = data["ts_attn"].mean(axis=0)     # [K, T]
+    mean_attn = data["ts_attn"].mean(axis=0)     # [K, T] or [K, V] (event)
     fig, ax = plt.subplots(figsize=(8, 4))
     im = ax.imshow(mean_attn, aspect="auto", cmap="magma")
     ax.set_yticks(range(len(labels)))
     ax.set_yticklabels([l.replace("label_", "") for l in labels])
-    ax.set_xlabel("hour token")
+    ax.set_xlabel("hour token" if data.get("attn_axis") != "variable"
+                  else "clinical variable (full 24 h trajectory)")
     fig.colorbar(im)
     fig.tight_layout()
     fig.savefig(os.path.join(out_dir, "ts_attention_heatmap.png"), dpi=100)
@@ -109,21 +123,32 @@ def plot_query_cosine(params, labels, out_dir):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    q = np.asarray(params["perceiver"]["shared_queries"])
-    qn = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
-    cos = qn @ qn.T
-    fig, ax = plt.subplots(figsize=(5, 4))
-    im = ax.imshow(cos, vmin=-1, vmax=1, cmap="coolwarm")
+    perc = params["perceiver"]
+    if "shared_queries" in perc:
+        banks = {"": perc["shared_queries"]}
+    else:
+        # independent image/temporal banks (dual_patch_event; the two-bank
+        # layout of the reference's _find_pathology_query_banks, :70-90)
+        banks = {"_image": perc["image_queries"],
+                 "_temporal": perc["temporal_queries"]}
     names = [l.replace("label_", "") for l in labels]
-    ax.set_xticks(range(len(names)))
-    ax.set_xticklabels(names, rotation=45, ha="right")
-    ax.set_yticks(range(len(names)))
-    ax.set_yticklabels(names)
-    fig.colorbar(im)
-    fig.tight_layout()
-    fig.savefig(os.path.join(out_dir, "query_cosine.png"), dpi=100)
-    plt.close(fig)
-    np.savetxt(os.path.join(out_dir, "query_cosine.csv"), cos, delimiter=",")
+    for suffix, bank in banks.items():
+        q = np.asarray(bank)
+        qn = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        cos = qn @ qn.T
+        fig, ax = plt.subplots(figsize=(5, 4))
+        im = ax.imshow(cos, vmin=-1, vmax=1, cmap="coolwarm")
+        ax.set_xticks(range(len(names)))
+        ax.set_xticklabels(names, rotation=45, ha="right")
+        ax.set_yticks(range(len(names)))
+        ax.set_yticklabels(names)
+        fig.colorbar(im)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"query_cosine{suffix}.png"),
+                    dpi=100)
+        plt.close(fig)
+        np.savetxt(os.path.join(out_dir, f"query_cosine{suffix}.csv"), cos,
+                   delimiter=",")
 
 
 def plot_token_embedding(data, labels, out_dir, perplexity=15):

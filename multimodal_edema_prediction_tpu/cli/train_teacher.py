@@ -20,7 +20,8 @@ def main(argv=None):
     p = argparse.ArgumentParser("DuETT KD teacher training (TPU)")
     add_common_flags(p)
     p.add_argument("--perceiver_type", type=str, default="dual_patch",
-                   choices=["dual_patch", "dual", "single", "legacy"])
+                   choices=["dual_patch", "dual_patch_event", "dual",
+                            "single", "legacy"])
     p.add_argument("--freeze_duett", action="store_true")
     p.add_argument("--unfreeze_cxr", action="store_true")
     p.add_argument("--duett_ckpt", type=str, default="",

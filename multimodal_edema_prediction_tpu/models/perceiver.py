@@ -185,6 +185,179 @@ class PatchDualPathologyPerceiver(nn.Module):
         return out
 
 
+class EventPerceiverBlock(nn.Module):
+    """Event-grid cross-attention block.
+
+    Same pre-LN cross-attn + FFN skeleton as :class:`PerceiverBlock`, but the
+    query path is ``event_query_proj`` → ``event_query_norm`` — the exact
+    attribute names the reference's analysis suite dispatches on for its
+    event-attention perceiver variant (a designed-but-uncommitted API:
+    ``analysis/grad_flow_diagnostics.py:563-571`` computes effective TS
+    queries as ``event_query_norm(event_query_proj(temporal_prototypes))``,
+    and ``analysis/visualize_pathology.py:291-292`` selects the
+    ``event_attn`` output when ``event_query_proj`` exists). The projection
+    lets the shared-latent-space query bank address the event-grid key space
+    while keeping the residual stream in d_latent.
+    """
+    n_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, queries, event_kv, train: bool = False,
+                 return_attn: bool = False, key_padding_mask=None):
+        d = queries.shape[-1]
+        q = nn.Dense(d, dtype=queries.dtype, param_dtype=jnp.float32,
+                     name="event_query_proj")(queries)
+        q = nn.LayerNorm(dtype=jnp.float32, name="event_query_norm")(
+            q).astype(queries.dtype)
+        k = nn.LayerNorm(dtype=jnp.float32, name="norm_kv")(
+            event_kv).astype(event_kv.dtype)
+        attn = MultiHeadAttention(self.n_heads, d // self.n_heads,
+                                  self.dropout, qkv_bias=True, name="attn")
+        if return_attn:
+            a, w = attn(q, k, train=train, return_weights=True,
+                        key_padding_mask=key_padding_mask)
+        else:
+            a, w = attn(q, k, train=train,
+                        key_padding_mask=key_padding_mask), None
+        latents = queries + a
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm_ff")(
+            latents).astype(latents.dtype)
+        h = nn.Dense(d * 4, dtype=latents.dtype, param_dtype=jnp.float32,
+                     name="ff_in")(h)
+        h = gelu_exact(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(d, dtype=latents.dtype, param_dtype=jnp.float32,
+                     name="ff_out")(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        latents = latents + h
+        return latents, w
+
+
+class EventPatchPerceiver(nn.Module):
+    """'dual_patch_event' mode: the reference's event-attention perceiver —
+    designed in its tree but never committed (SURVEY §7.3).
+
+    The reference's analysis suite was written against this newer API and the
+    commented TeacherModel sketches it (``models/main_architecture_duett.py:
+    886-893``: "use the grid instead of ts_tokens … grid cross (Q: pathology
+    queries, K,V: grid)"), but the checked-in model only ships the
+    hourly-token path. This class completes it, TPU-first:
+
+    - **independent query banks** ``image_queries`` + ``temporal_queries``
+      (the two-bank layout ``grad_flow_diagnostics._find_pathology_query_banks``
+      prefers, reference ``:70-90``) instead of ``shared_queries``;
+    - the temporal branch cross-attends the **dynamic event grid**: each of
+      the V clinical variables' full 24 h trajectory becomes ONE key/value
+      token (``[B,T,V,d_emb] → [B,V,T·d_emb]`` — a single reshape feeding one
+      batched MXU matmul, no per-variable loops), so ``event_attn`` is
+      ``[B,K,V]`` — which pathology query reads which clinical variable,
+      exactly the per-variable axis the reference's
+      ``viz_ts_attention`` renders for the event variant
+      (``visualize_pathology.py:330-339``: x-axis = "clinical variable
+      (full 24 h trajectory)");
+    - ``ts_padding_mask`` ``[B,V]`` (True = ignore) masks variables with no
+      observations in the window, mirroring the trajectory path's
+      key_padding_mask (``smoke_test_trajectory_encoder.py:44``,
+      ``models/...:1389-1391``);
+    - image branch, shared per-modality heads, per-label biases, β-scaled
+      zero-init correction and stop-gradient residual fusion are identical to
+      the active ``dual_patch`` semantics (``:538-654``).
+    """
+    cfg: PerceiverConfig
+
+    @nn.compact
+    def __call__(self, event_grid: jnp.ndarray,
+                 img_patches_proj: jnp.ndarray, train: bool = False,
+                 return_attn: bool = False,
+                 ts_padding_mask: Optional[jnp.ndarray] = None,
+                 token_eps: Optional[tuple] = None) -> dict:
+        cfg = self.cfg
+        if event_grid.ndim != 4:
+            raise ValueError(f"event_grid must be [B,T,V,d_emb], "
+                             f"got {event_grid.shape}")
+        B, T, V, De = event_grid.shape
+        dtype = event_grid.dtype
+
+        img_bank = self.param("image_queries", nn.initializers.normal(0.02),
+                              (cfg.n_pathologies, cfg.d_latent), jnp.float32)
+        ts_bank = self.param("temporal_queries",
+                             nn.initializers.normal(0.02),
+                             (cfg.n_pathologies, cfg.d_latent), jnp.float32)
+        img_q = jnp.broadcast_to(img_bank.astype(dtype),
+                                 (B, cfg.n_pathologies, cfg.d_latent))
+        ts_q = jnp.broadcast_to(ts_bank.astype(dtype),
+                                (B, cfg.n_pathologies, cfg.d_latent))
+
+        # image branch — unchanged from dual_patch
+        img_cross = PerceiverBlock(cfg.n_heads, cfg.dropout, name="img_cross")
+        img_self = PerceiverBlock(cfg.n_heads, cfg.dropout, name="img_self")
+        if return_attn:
+            I, img_attn = img_cross(img_q, img_patches_proj, train=train,
+                                    return_attn=True)
+        else:
+            I, img_attn = img_cross(img_q, img_patches_proj,
+                                    train=train), None
+        I = img_self(I, I, train=train)
+
+        # event branch: per-variable trajectory tokens
+        ev_tokens = event_grid.transpose(0, 2, 1, 3).reshape(B, V, T * De)
+        ev_kv = nn.Dense(cfg.d_latent, dtype=dtype, param_dtype=jnp.float32,
+                         name="event_kv_proj")(ev_tokens)
+        mask = None
+        if ts_padding_mask is not None:
+            # never mask ALL keys of a sample (softmax over -inf only):
+            # a sample with zero observed variables falls back to uniform
+            # attention over everything rather than NaN.
+            all_masked = jnp.all(ts_padding_mask, axis=-1, keepdims=True)
+            mask = ts_padding_mask & ~all_masked
+        Tk, event_attn = EventPerceiverBlock(
+            cfg.n_heads, cfg.dropout, name="event_cross")(
+            ts_q, ev_kv, train=train, return_attn=return_attn,
+            key_padding_mask=mask)
+        Tk = PerceiverBlock(cfg.n_heads, cfg.dropout, name="ts_self")(
+            Tk, Tk, train=train)
+        if token_eps is not None:
+            I = I + token_eps[0].astype(I.dtype)
+            Tk = Tk + token_eps[1].astype(Tk.dtype)
+
+        img_bias = self.param("image_label_bias", nn.initializers.zeros,
+                              (cfg.n_pathologies,), jnp.float32)
+        ts_bias = self.param("temporal_label_bias", nn.initializers.zeros,
+                             (cfg.n_pathologies,), jnp.float32)
+        beta = self.param("beta", nn.initializers.ones,
+                          (cfg.n_pathologies,), jnp.float32)
+
+        img_logits = _Head(cfg.head_hidden, cfg.head_dropout,
+                           name="image_head")(I, train=train).squeeze(-1)
+        img_logits = img_logits.astype(jnp.float32) + img_bias[None, :]
+        ts_logits = _Head(cfg.head_hidden, cfg.head_dropout,
+                          name="temporal_head")(Tk, train=train).squeeze(-1)
+        ts_logits = ts_logits.astype(jnp.float32) + ts_bias[None, :]
+
+        corr = CorrectionHead(cfg.head_hidden, cfg.head_dropout,
+                              name="correction_head")(
+            Tk, train=train).squeeze(-1).astype(jnp.float32)
+        scaled_corr = beta[None, :] * corr
+        fusion_logits = jax.lax.stop_gradient(img_logits) + scaled_corr
+
+        out = {
+            "img_logits": img_logits,
+            "ts_logits": ts_logits,
+            "fusion_logits": fusion_logits,
+            "img_tokens": I,
+            "ts_tokens": Tk,
+            "fusion_tokens": Tk,
+            "ts_correction": corr,
+            "scaled_correction": scaled_corr,
+        }
+        if return_attn:
+            out["img_attn"] = img_attn
+            # head-averaged [B, K, V]: per-(pathology, clinical variable)
+            out["event_attn"] = event_attn
+        return out
+
+
 class TemporalPerceiver(nn.Module):
     """'legacy' mode: N learnable latent queries interleave cross-attention
     over the (already projected) image kv and the DuETT tokens, then mean-pool

@@ -23,9 +23,9 @@ from flax import linen as nn
 from ..config import TeacherConfig
 from .duett import DuettEncoder
 from .layers import gelu_exact
-from .perceiver import (DualPathologyPerceiver, PathologyPerceiver,
-                        PatchDualPathologyPerceiver, TemporalPerceiver,
-                        adaptive_avg_pool_tokens)
+from .perceiver import (DualPathologyPerceiver, EventPatchPerceiver,
+                        PathologyPerceiver, PatchDualPathologyPerceiver,
+                        TemporalPerceiver, adaptive_avg_pool_tokens)
 from .vit import DinoViT
 
 
@@ -63,10 +63,11 @@ class TeacherModel(nn.Module):
         duett_train = train and not cfg.freeze_duett
         cxr_train = train and not cfg.freeze_cxr
 
-        ts_tokens, _ = DuettEncoder(cfg.duett, name="duett")(
+        ts_tokens, psi_grid = DuettEncoder(cfg.duett, name="duett")(
             x_in, x_static, times, train=duett_train)
         if cfg.freeze_duett:
             ts_tokens = jax.lax.stop_gradient(ts_tokens)
+            psi_grid = jax.lax.stop_gradient(psi_grid)
 
         if cxr_feats is not None:
             # encode-once tier (data/features.py): the frozen ViT's (CLS,
@@ -85,10 +86,32 @@ class TeacherModel(nn.Module):
             cls = jax.lax.stop_gradient(cls)
             patches = jax.lax.stop_gradient(patches)
 
-        if token_eps is not None and cfg.perceiver_type != "dual_patch":
+        if token_eps is not None and cfg.perceiver_type not in (
+                "dual_patch", "dual_patch_event"):
             raise ValueError("token_eps (fusion-token sensitivity hook) is "
-                             "only defined for perceiver_type='dual_patch'")
-        if cfg.perceiver_type == "dual_patch":
+                             "only defined for the patch perceiver modes")
+        if cfg.perceiver_type == "dual_patch_event":
+            # Event-attention variant (the reference's designed-but-
+            # uncommitted newer API, models/main_architecture_duett.py:
+            # 886-893): the temporal branch reads the DYNAMIC event grid —
+            # psi minus the [REP] row and the static column (the commented
+            # ``dynamic_grid = ts_grid[:, :-1, :-1, :]``) — one KV token per
+            # clinical variable's full 24 h trajectory.
+            patches_proj = nn.Dense(cfg.perceiver.d_latent,
+                                    dtype=patches.dtype,
+                                    param_dtype=jnp.float32,
+                                    name="img_proj")(patches)
+            dynamic_grid = psi_grid[:, :-1, :-1, :]    # [B, T, V, d_emb]
+            # variables with zero observations in the window are padded-out
+            # keys (the trajectory path's key_padding_mask semantics,
+            # reference :1389-1391); counts live at x_in[..., V:2V]
+            V = cfg.duett.n_variables
+            observed = (x_in[:, :, V:2 * V] > 0).any(axis=1)     # [B, V]
+            out = EventPatchPerceiver(cfg.perceiver, name="perceiver")(
+                dynamic_grid, patches_proj, train=train,
+                return_attn=return_attn, ts_padding_mask=~observed,
+                token_eps=token_eps)
+        elif cfg.perceiver_type == "dual_patch":
             patches_proj = nn.Dense(cfg.perceiver.d_latent,
                                     dtype=patches.dtype,
                                     param_dtype=jnp.float32,
@@ -173,7 +196,7 @@ class TeacherModel(nn.Module):
         }
         if return_attn:
             for k in ("img_tokens", "ts_tokens", "fusion_tokens",
-                      "img_attn", "ts_attn"):
+                      "img_attn", "ts_attn", "event_attn"):
                 if k in out:
                     result[k] = out[k]
         return result

@@ -365,8 +365,8 @@ def make_teacher_eval_from_windows(model, dtype=jnp.bfloat16,
         keys = ["main_logit", "img_logits", "ts_logits", "fusion_logits",
                 "scaled_correction"]
         if return_attn:
-            keys += ["img_attn", "ts_attn", "img_tokens", "ts_tokens",
-                     "fusion_tokens"]
+            keys += ["img_attn", "ts_attn", "event_attn", "img_tokens",
+                     "ts_tokens", "fusion_tokens"]
         return {k: out[k].astype(jnp.float32) for k in keys if k in out}
 
     return step

@@ -412,7 +412,7 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                      f"continuing at epoch {start_epoch}")
 
     mode = teacher_cfg.perceiver_type
-    uses_dual = mode in ("dual_patch", "dual")
+    uses_dual = mode in ("dual_patch", "dual_patch_event", "dual")
 
     with mesh:
         if uses_dual:
@@ -619,7 +619,7 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                 log.metrics(wb_t, epoch)
             # in-loop read-only gradient diagnostics (trainer.py:684-705)
             if grad_diag_every > 0 and (epoch + 1) % grad_diag_every == 0 \
-                    and mode == "dual_patch":
+                    and mode in ("dual_patch", "dual_patch_event"):
                 from ..analysis.grad_flow_diagnostics import (
                     diagnostics_to_log_dict, format_report, run_diagnostics)
                 diag = run_diagnostics(model, state.params,
