@@ -174,13 +174,16 @@ def plot_token_embedding(data, labels, out_dir, perplexity=15):
         plt.close(fig)
 
 
-def plot_query_token_projection(data, labels, out_dir):
+def plot_query_token_projection(data, labels, out_dir, dim_reduce="auto"):
     """Reference ``viz_stage4_projection`` (:440-510): embed ALL N×K
     pathology-query fusion tokens in 2-D, colored by pathology, raw and
     per-sample-centered side by side — centering removes the sample-level
     component so remaining structure must be pathology-specific (clusters =
-    the queries learned distinct readouts). UMAP when importable, else
-    t-SNE (the reference's own fallback)."""
+    the queries learned distinct readouts). ``dim_reduce`` mirrors the
+    reference's ``--dim_reduce`` flag (:68-69): 'auto'/'umap' use the
+    ``umap-learn`` package when importable, else the in-tree implementation
+    of the same algorithm (``analysis/umap_impl.py``); 'tsne' forces the
+    reference's t-SNE fallback."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -193,14 +196,7 @@ def plot_query_token_projection(data, labels, out_dir):
     flat_raw = tokens.reshape(N * K, d)
     flat_cen = centered.reshape(N * K, d)
 
-    try:
-        import umap
-        reducer_name = "umap"
-
-        def _fit(flat):
-            return umap.UMAP(n_components=2,
-                             random_state=42).fit_transform(flat)
-    except ImportError:
+    if dim_reduce == "tsne":
         from sklearn.manifold import TSNE
         reducer_name = "tsne"
 
@@ -208,6 +204,16 @@ def plot_query_token_projection(data, labels, out_dir):
             perp = min(30, max(5, flat.shape[0] // 4 - 1))
             return TSNE(n_components=2, random_state=42, init="pca",
                         perplexity=perp).fit_transform(flat)
+    else:
+        try:
+            import umap
+        except ImportError:
+            from . import umap_impl as umap
+        reducer_name = "umap"
+
+        def _fit(flat):
+            return umap.UMAP(n_components=2,
+                             random_state=42).fit_transform(flat)
 
     names = [l.replace("label_", "") for l in labels]
     cmap = plt.get_cmap("tab10")
@@ -261,6 +267,11 @@ def gap_summary(data, labels, out_dir):
 def main(argv=None):
     p = argparse.ArgumentParser("teacher visualization suite")
     add_analysis_flags(p)
+    p.add_argument("--dim_reduce", type=str, default="auto",
+                   choices=["auto", "umap", "tsne"],
+                   help="stage4 token projection reducer (reference "
+                        "visualize_pathology.py:68-69); auto = UMAP "
+                        "(in-tree impl if the package is absent)")
     args = p.parse_args(argv)
     model, cfg, params, batch_stats, _ = load_teacher(args.ckpt)
     _, meta, anchor_ds, dcfg = load_analysis_data(
@@ -277,7 +288,8 @@ def main(argv=None):
     plot_ts_attention_heatmap(data, labels, args.out_dir)
     plot_query_cosine(params, labels, args.out_dir)
     plot_token_embedding(data, labels, args.out_dir)
-    plot_query_token_projection(data, labels, args.out_dir)
+    plot_query_token_projection(data, labels, args.out_dir,
+                                dim_reduce=args.dim_reduce)
     rows = gap_summary(data, labels, args.out_dir)
     print(f"figures + CSVs → {args.out_dir}")
     return rows
