@@ -39,6 +39,25 @@ def scoped_vmem_compiler_options(flash_block_b: int):
     return {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)}
 
 
+def choose_flash_blocks(B: int, Nq_p: int, Nk_p: int,
+                        block_b: int) -> tuple:
+    """(block_q, block_k, block_b) for the padded shape.
+
+    Full-length q/k blocks up to 2048 (no inter-block softmax rescaling
+    passes), 128 when the padded length isn't a divisor. ``block_b`` is
+    clamped to the actual batch — the kernel rejects block_b > B, which the
+    serving bucket-1 path hit with the production flash_block_b=2 config;
+    the tuned value only matters at training/throughput batch sizes anyway.
+    """
+    bq = min(Nq_p, 2048)
+    if Nq_p % bq:
+        bq = 128
+    bk = min(Nk_p, 2048)
+    if Nk_p % bk:
+        bk = 128
+    return bq, bk, max(1, min(block_b, B))
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_size",
                                               "q_valid", "kv_valid",
                                               "block_b"))
@@ -99,12 +118,7 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # explicit arg > MMEDEMA_FLASH_BLOCK_B env (probes) > 1.
     import os as _os
     bb = block_b or int(_os.environ.get("MMEDEMA_FLASH_BLOCK_B", "1"))
-    bq = min(Nq_p, 2048)
-    if Nq_p % bq:
-        bq = 128
-    bk = min(Nk_p, 2048)
-    if Nk_p % bk:
-        bk = 128
+    bq, bk, bb = choose_flash_blocks(B, Nq_p, Nk_p, bb)
     sizes = BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=bb,
         block_q_major_dkv=bq, block_k_major_dkv=bk,

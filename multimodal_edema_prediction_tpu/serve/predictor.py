@@ -104,7 +104,8 @@ class BatchingPredictor:
                  max_batch: int = 32, max_wait_ms: float = 4.0,
                  max_queue: int = 1024, dtype=None,
                  n_pathologies: Optional[int] = None,
-                 labels: Optional[Sequence[str]] = None):
+                 labels: Optional[Sequence[str]] = None,
+                 mesh=None):
         import jax.numpy as jnp
         from ..train import engine
 
@@ -117,7 +118,14 @@ class BatchingPredictor:
             model, dtype or jnp.bfloat16, image_source=src,
             feature_source=feature_source)
         self._cfg = getattr(model, "cfg", None)
-        self.buckets = _bucket_ladder(int(max_batch))
+        # multi-chip DP: every bucket a multiple of the data axis so each
+        # batch splits evenly across chips (GSPMD infers the rest from the
+        # input shardings; params should be mesh-sharded by the caller —
+        # meshlib.shard_params — exactly as in training)
+        self._mesh = mesh
+        n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        ladder = _bucket_ladder(max(1, int(max_batch) // n_data))
+        self.buckets = tuple(b * n_data for b in ladder)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._q: "queue.Queue[_Item]" = queue.Queue(maxsize=int(max_queue))
         self._stats = PredictorStats()
@@ -274,6 +282,12 @@ class BatchingPredictor:
         else:
             batch["image_ids"] = np.asarray(
                 [items[i].image_id for i in idx], np.int32)
+        if self._mesh is not None:
+            import jax
+            from ..parallel import mesh as meshlib
+            sh = meshlib.batch_sharding(self._mesh)
+            x_ts, static = jax.device_put(x_ts, sh), jax.device_put(static, sh)
+            batch = meshlib.shard_batch(batch, self._mesh)
         out = self._step(self._params, self._stats_vars, x_ts, static, batch)
         out = {k: np.asarray(v, np.float32)[:n] for k, v in out.items()}
         if "fusion_logits" not in out:

@@ -258,3 +258,28 @@ def test_bank_mode_uses_image_ids():
             got, np.asarray(out["fusion_logits"]), rtol=2e-4, atol=2e-4)
     finally:
         pred.close()
+
+
+def test_mesh_mode_dp_over_8_devices():
+    """Multi-chip serving: buckets are multiples of the data axis, batches
+    shard over it, and results match the single-device predictor."""
+    from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
+    cfg = tiny_cfg()
+    model = TeacherModel(cfg)
+    variables = init_teacher(model, cfg, 4, cfg.duett.n_timesteps,
+                             jax.random.key(2))
+    mesh = meshlib.create_mesh(4, 2)
+    params = meshlib.shard_params(variables["params"], mesh)
+    pred = BatchingPredictor(
+        model, params, variables["batch_stats"], max_batch=16,
+        max_wait_ms=30.0, dtype=jnp.float32, mesh=mesh).start()
+    try:
+        assert pred.buckets == (4, 8, 16)          # multiples of data=4
+        reqs = _requests(cfg, 6, seed=4)
+        futures = [pred.submit(r) for r in reqs]
+        got = np.stack([np.asarray(f.result(timeout=120.0)["fusion_logits"])
+                        for f in futures])
+        want = _direct_logits(model, variables, reqs, cfg)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    finally:
+        pred.close()
