@@ -544,6 +544,70 @@ def measure_teacher_inference(batch_size: int = 64, n_steps: int = 10,
             "batch_size": batch_size}
 
 
+def measure_serving(n_clients: int = 32, seconds: float = 10.0,
+                    image_bank_size: int = 32) -> dict:
+    """Online-serving path (serve/BatchingPredictor): batch-1 round-trip
+    latency and sustained QPS under concurrent closed-loop clients, full-
+    size teacher on the HBM pixel-bank tier. Buckets limited to (1, 32) to
+    keep the compile budget small under the tunnel."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_edema_prediction_tpu.config import TeacherConfig, ViTConfig
+    from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
+    from multimodal_edema_prediction_tpu.serve import BatchingPredictor
+    from multimodal_edema_prediction_tpu.train.teacher_loop import (
+        init_teacher, make_bank_image_source)
+
+    cfg = TeacherConfig(vit=ViTConfig(flash_block_b=2))
+    model = TeacherModel(cfg)
+    T, V, D = cfg.duett.n_timesteps, cfg.duett.n_variables, cfg.duett.d_static
+    S = cfg.vit.image_size
+    variables = init_teacher(model, cfg, 4, T, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    bank = jnp.asarray(rng.random((image_bank_size, S, S, 3), np.float32)
+                       .astype(jnp.bfloat16))
+    pred = BatchingPredictor(
+        model, variables["params"], variables["batch_stats"],
+        image_source=make_bank_image_source(bank), buckets=(1, 32),
+        max_wait_ms=4.0, max_queue=4096).start()
+    try:
+        def req(i):
+            return {"x_ts": rng.normal(size=(T, 2 * V)).astype(np.float32),
+                    "static": rng.normal(size=D).astype(np.float32),
+                    "image_id": int(i % image_bank_size)}
+
+        pred.warmup(req(0))
+        lat = []
+        for i in range(20):
+            t = time.time()
+            pred.predict(req(i))
+            lat.append((time.time() - t) * 1e3)
+        lat = np.asarray(lat[4:])
+
+        import threading
+        stop = time.time() + seconds
+        counts = [0] * n_clients
+
+        def client(ci):
+            while time.time() < stop:
+                pred.predict(req(ci))
+                counts[ci] += 1
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.time()
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        qps = sum(counts) / (time.time() - t0)
+        st = pred.stats()
+    finally:
+        pred.close()
+    return {"batch1_latency_ms_p50": round(float(np.percentile(lat, 50)), 1),
+            "batch1_latency_ms_p99": round(float(np.percentile(lat, 99)), 1),
+            "sustained_qps": round(qps, 1), "clients": n_clients,
+            "mean_formed_batch": round(st["mean_batch_size"], 2)}
+
+
 def measure_ssl_throughput(batch_size: int = 512, n_steps: int = 10,
                            warmup: int = 3) -> float:
     """DuETT SSL pretrain step samples/sec (full dims, no images)."""
@@ -683,6 +747,7 @@ def main():
     e2e_mm = run_section(measure_e2e_image_pipeline, 500, "u8memmap")
     e2e_jpeg = run_section(measure_e2e_image_pipeline, 500, "jpeg", n_steps=6)
     infer = run_section(measure_teacher_inference, 600)
+    serving = run_section(measure_serving, 700)
     cached = run_section(measure_jax_teacher_cached, 900,
                          batch_sweep=(128, 256, 512))
     ssl_sps = run_section(measure_ssl_throughput, 300)
@@ -722,6 +787,7 @@ def main():
             "e2e_u8memmap": e2e_mm,
             "e2e_jpeg_decode_per_step": e2e_jpeg,
             "teacher_inference": infer,
+            "serving": serving,
             "teacher_cached_features": cached,
             "ssl_pretrain_samples_per_sec": round(ssl_sps, 1),
             "preprocess_rows_per_sec": round(rows_per_sec, 1),

@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--max_wait_ms", type=float, default=4.0)
     p.add_argument("--max_queue", type=int, default=1024)
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="serve DP over this many chips: buckets snap to "
+                        "multiples of it and each batch shards over the "
+                        "mesh's data axis")
     p.add_argument("--labels", type=str, default="",
                    help="comma-separated label names (default: the "
                         "DataConfig pathology set)")
@@ -55,6 +59,16 @@ def main(argv=None):
     labels = (args.labels.split(",") if args.labels
               else list(DataConfig().pathology_labels))
     S = cfg.vit.image_size
+
+    mesh = None
+    device_put = None
+    if args.data_parallel > 1:
+        import jax
+        from ..parallel import mesh as meshlib
+        mesh = meshlib.create_mesh(args.data_parallel, 1)
+        params = meshlib.shard_params(params, mesh)
+        rep = meshlib.replicated(mesh)
+        device_put = lambda a: jax.device_put(a, rep)   # noqa: E731
 
     image_source = feature_source = None
     if args.image_mode == "synthetic":
@@ -87,15 +101,16 @@ def main(argv=None):
         encode = F.encode_fn_for_teacher(model, params)
         print(f"encoding {len(ids)} images once (frozen ViT) ...",
               flush=True)
+        kw = {"device_put": device_put} if device_put is not None else {}
         bank = F.CXRFeatureBank.build(encode, pixels_for_ids,
-                                      np.asarray(ids, np.int64))
+                                      np.asarray(ids, np.int64), **kw)
         feature_source = bank.feature_source(keyed_by_row=False)
 
     pred = BatchingPredictor(
         model, params, batch_stats, image_source=image_source,
         feature_source=feature_source, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
-        labels=labels).start()
+        labels=labels, mesh=mesh).start()
 
     T, V = cfg.duett.n_timesteps, cfg.duett.n_variables
     example = {"x_ts": np.zeros((T, 2 * V), np.float32),

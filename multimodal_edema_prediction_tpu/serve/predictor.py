@@ -105,7 +105,7 @@ class BatchingPredictor:
                  max_queue: int = 1024, dtype=None,
                  n_pathologies: Optional[int] = None,
                  labels: Optional[Sequence[str]] = None,
-                 mesh=None):
+                 mesh=None, buckets: Optional[Sequence[int]] = None):
         import jax.numpy as jnp
         from ..train import engine
 
@@ -124,8 +124,14 @@ class BatchingPredictor:
         # meshlib.shard_params — exactly as in training)
         self._mesh = mesh
         n_data = int(mesh.shape["data"]) if mesh is not None else 1
-        ladder = _bucket_ladder(max(1, int(max_batch) // n_data))
-        self.buckets = tuple(b * n_data for b in ladder)
+        if buckets is not None:
+            self.buckets = tuple(sorted(int(b) for b in buckets))
+            if any(b <= 0 or b % n_data for b in self.buckets):
+                raise ValueError(f"buckets {self.buckets} must be positive "
+                                 f"multiples of the data axis ({n_data})")
+        else:
+            ladder = _bucket_ladder(max(1, int(max_batch) // n_data))
+            self.buckets = tuple(b * n_data for b in ladder)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._q: "queue.Queue[_Item]" = queue.Queue(maxsize=int(max_queue))
         self._stats = PredictorStats()
