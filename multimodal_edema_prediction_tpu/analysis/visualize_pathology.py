@@ -174,7 +174,18 @@ def plot_token_embedding(data, labels, out_dir, perplexity=15):
         plt.close(fig)
 
 
-def plot_query_token_projection(data, labels, out_dir, dim_reduce="auto"):
+def projection_filename(mode: str) -> str:
+    """Reference main() (:623-628): figure name varies by perceiver mode —
+    fusion tokens for dual_patch, ts tokens for dual, stage4 otherwise."""
+    if mode in ("dual_patch", "dual_patch_event"):
+        return "fusion_token_umap.png"
+    if mode == "dual":
+        return "ts_token_umap.png"
+    return "stage4_token_umap.png"
+
+
+def plot_query_token_projection(data, labels, out_dir, dim_reduce="auto",
+                                mode="dual_patch"):
     """Reference ``viz_stage4_projection`` (:440-510): embed ALL N×K
     pathology-query fusion tokens in 2-D, colored by pathology, raw and
     per-sample-centered side by side — centering removes the sample-level
@@ -230,6 +241,9 @@ def plot_query_token_projection(data, labels, out_dir, dim_reduce="auto"):
         ax.set_xticks([])
         ax.set_yticks([])
     fig.tight_layout()
+    fname = projection_filename(mode)
+    fig.savefig(os.path.join(out_dir, fname), dpi=120, bbox_inches="tight")
+    # stable alias kept from earlier rounds' artifact layout
     fig.savefig(os.path.join(out_dir, "stage4_projection.png"), dpi=120,
                 bbox_inches="tight")
     plt.close(fig)
@@ -289,7 +303,8 @@ def main(argv=None):
     plot_query_cosine(params, labels, args.out_dir)
     plot_token_embedding(data, labels, args.out_dir)
     plot_query_token_projection(data, labels, args.out_dir,
-                                dim_reduce=args.dim_reduce)
+                                dim_reduce=args.dim_reduce,
+                                mode=cfg.perceiver_type)
     rows = gap_summary(data, labels, args.out_dir)
     print(f"figures + CSVs → {args.out_dir}")
     return rows

@@ -80,4 +80,10 @@ def test_projection_plot_uses_in_tree_umap(tmp_path):
             "y": rng.integers(0, 2, size=(N, K)).astype(np.float32)}
     visualize_pathology.plot_query_token_projection(
         data, [f"label_l{k}" for k in range(K)], str(tmp_path))
-    assert (tmp_path / "stage4_projection.png").exists()
+    assert (tmp_path / "fusion_token_umap.png").exists()   # dual_patch name
+    assert (tmp_path / "stage4_projection.png").exists()   # stable alias
+    # mode-dependent reference naming (:623-628)
+    assert visualize_pathology.projection_filename("dual") == \
+        "ts_token_umap.png"
+    assert visualize_pathology.projection_filename("single") == \
+        "stage4_token_umap.png"
