@@ -55,14 +55,28 @@ def add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--eval_train_batches", type=int, default=0)
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["no", "bf16"])
+    p.add_argument("--log_every", type=int, default=20,
+                   help="per-step wandb scalar cadence (run.py:105; only "
+                        "active with a live wandb sink — the default path "
+                        "stays host-sync-free)")
     p.add_argument("--ckpt_dir", type=str, default="runs")
     p.add_argument("--wandb_project", type=str, default="")
     p.add_argument("--wandb_run_name", type=str, default="")
+    p.add_argument("--wandb_disabled", action="store_true",
+                   help="force wandb off even if --wandb_project is set "
+                        "(run.py:54)")
     # loss alphas
     p.add_argument("--aux_img_alpha", type=float, default=0.5)
     p.add_argument("--aux_ts_alpha", type=float, default=0.5)
     p.add_argument("--aux_fus_alpha", type=float, default=1.0)
     p.add_argument("--aux_residual_alpha", type=float, default=0.0)
+
+
+def wandb_project(args):
+    """wandb project gated by --wandb_disabled (reference trainer.py:139)."""
+    if getattr(args, "wandb_disabled", False):
+        return None
+    return args.wandb_project or None
 
 
 def configs_from_args(args) -> tuple:
@@ -85,9 +99,15 @@ def configs_from_args(args) -> tuple:
         limit_batches=args.limit_batches,
         eval_train_batches=args.eval_train_batches,
         dtype="bfloat16" if args.mixed_precision == "bf16" else "float32",
+        log_every=args.log_every,
         alpha_img=args.aux_img_alpha, alpha_ts=args.aux_ts_alpha,
         alpha_fus=args.aux_fus_alpha,
         aux_residual_alpha=args.aux_residual_alpha,
+        aux_stage2_alpha=getattr(args, "aux_stage2_alpha", 1.0),
+        aux_stage4_alpha=getattr(args, "aux_stage4_alpha", 0.5),
+        use_aux_cxr=getattr(args, "use_aux_cxr", False),
+        aux_cxr_alpha=getattr(args, "aux_cxr_alpha", 0.0),
+        kd_name=getattr(args, "kd_name", "vanilla_kl"),
         optim=OptimConfig(
             lr=args.lr, backbone_lr_mult=args.backbone_lr_mult,
             query_lr_mult=args.query_lr_mult,

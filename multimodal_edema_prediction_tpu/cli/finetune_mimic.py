@@ -21,6 +21,7 @@ from ..data import synthetic as S
 from ..data.sliding import build_stay_label_dataset
 from ..train.finetune_loop import finetune_duett
 from ..utils.logging import Logger
+from .common import wandb_project
 
 
 def main(argv=None):
@@ -53,7 +54,7 @@ def main(argv=None):
     from ..utils import preemption
     preemption.install_handler()
 
-    log = Logger("finetune_mimic", args.wandb_project or None)
+    log = Logger("finetune_mimic", wandb_project(args))
     dcfg = DataConfig(n_timesteps=args.n_timesteps, data_dir=args.data_dir)
     if args.data_dir:
         from ..data.ingest import load_artifacts

@@ -7,7 +7,7 @@ from ..data.sliding import build_sliding_ssl_dataset
 from ..train.ssl_loop import train_ssl
 from ..utils.logging import Logger
 from .common import add_common_flags, configs_from_args, load_data, \
-    make_run_dir, sync_duett_with_meta
+    make_run_dir, sync_duett_with_meta, wandb_project
 
 
 def main(argv=None):
@@ -34,7 +34,7 @@ def main(argv=None):
     dcfg, duett, tcfg = configs_from_args(args)
     duett = duett.replace(pretrain_masked_steps=args.pretrain_masked_steps)
     run_dir = args.resume_dir or make_run_dir(args.ckpt_dir, tcfg)
-    log = Logger("duett_ssl", args.wandb_project or None,
+    log = Logger("duett_ssl", wandb_project(args),
                  args.wandb_run_name or None, tcfg.to_dict())
     ds, meta, _ = load_data(args, dcfg)
     duett = sync_duett_with_meta(duett, meta, log)

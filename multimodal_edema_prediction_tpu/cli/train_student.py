@@ -7,7 +7,7 @@ from ..config import StudentConfig
 from ..train.kd_loop import train_student_kd
 from ..utils.logging import Logger
 from .common import add_common_flags, configs_from_args, load_data, \
-    make_run_dir, sync_duett_with_meta
+    make_run_dir, sync_duett_with_meta, wandb_project
 
 
 def main(argv=None):
@@ -16,6 +16,9 @@ def main(argv=None):
     p.add_argument("--teacher_ckpt", type=str, required=True)
     p.add_argument("--student_pool", type=str, default="mean",
                    choices=["mean", "rep_token"])
+    p.add_argument("--kd_name", type=str, default="vanilla_kl",
+                   help="KD loss from the ops.losses.KD_LOSSES registry "
+                        "(run.py:200; unknown names fail fast)")
     p.add_argument("--kd_T", type=float, default=4.0)
     p.add_argument("--kd_alpha", type=float, default=0.5)
     p.add_argument("--duett_ckpt", type=str, default="",
@@ -38,13 +41,15 @@ def main(argv=None):
     p.add_argument("--cxr_feature_store_path", type=str, default="")
     args = p.parse_args(argv)
 
+    from ..ops.losses import resolve_kd_loss
+    resolve_kd_loss(args.kd_name)   # unknown names fail fast (run.py:200)
     dcfg, duett, tcfg = configs_from_args(args)
     tcfg = tcfg.replace(kd_T=args.kd_T, kd_alpha=args.kd_alpha)
     student_cfg = StudentConfig(duett=duett, pool=args.student_pool,
                                 head_hidden=args.head_hidden,
                                 head_dropout=args.head_dropout)
     run_dir = args.resume_dir or make_run_dir(args.ckpt_dir, tcfg)
-    log = Logger("student", args.wandb_project or None,
+    log = Logger("student", wandb_project(args),
                  args.wandb_run_name or None, tcfg.to_dict())
     _, meta, anchor_ds = load_data(args, dcfg)
     student_cfg = student_cfg.replace(

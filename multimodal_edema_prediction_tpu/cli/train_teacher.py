@@ -13,7 +13,7 @@ from ..train.ssl_loop import transplant_encoder
 from ..train.teacher_loop import init_teacher, train_teacher
 from ..utils.logging import Logger
 from .common import add_common_flags, configs_from_args, load_data, \
-    make_run_dir, sync_duett_with_meta
+    make_run_dir, sync_duett_with_meta, wandb_project
 
 
 def main(argv=None):
@@ -48,6 +48,26 @@ def main(argv=None):
     p.add_argument("--lp_ckpt", type=str, default="")
     p.add_argument("--lp_beta_l2", type=float, default=1e-3)
     p.add_argument("--lp_corr_l2", type=float, default=1e-2)
+    p.add_argument("--lp_correction_dropout", type=float, default=0.3,
+                   help="[LP mode] correction-head dropout override "
+                        "(reference trainer.py:365-370, run.py:174)")
+    p.add_argument("--n_latents", type=int, default=16,
+                   help="[legacy] TemporalPerceiver latent-query count "
+                        "(run.py:75)")
+    p.add_argument("--n_perceiver_layers", type=int, default=2,
+                   help="[legacy] TemporalPerceiver img/ts block pairs "
+                        "(run.py:76)")
+    p.add_argument("--aux_stage2_alpha", type=float, default=1.0,
+                   help="[single] stage2 (image-only) loss weight "
+                        "(run.py:134)")
+    p.add_argument("--aux_stage4_alpha", type=float, default=0.5,
+                   help="[single] stage4 (multimodal) loss weight "
+                        "(run.py:136)")
+    p.add_argument("--use_aux_cxr", action="store_true",
+                   help="[legacy] auxiliary CXR-only head BCE "
+                        "(run.py:120-123)")
+    p.add_argument("--aux_cxr_alpha", type=float, default=0.0,
+                   help="[legacy] total = main_bce + aux_cxr_alpha * aux_bce")
     p.add_argument("--grad_diag_every", type=int, default=0,
                    help="run read-only gradient-flow diagnostics every N "
                         "epochs (0 = off)")
@@ -118,12 +138,15 @@ def main(argv=None):
             n_pathologies=len(dcfg.pathology_labels),
             d_latent=args.d_latent, n_heads=args.n_perceiver_heads,
             dropout=args.perceiver_dropout, head_hidden=args.head_hidden,
-            head_dropout=args.head_dropout),
+            head_dropout=args.head_dropout,
+            n_latents=args.n_latents, n_layers=args.n_perceiver_layers,
+            correction_dropout=(args.lp_correction_dropout
+                                if args.lp_only_correction else None)),
         perceiver_type=args.perceiver_type,
         freeze_duett=args.freeze_duett, freeze_cxr=not args.unfreeze_cxr)
 
     run_dir = args.resume_dir or make_run_dir(args.ckpt_dir, tcfg)
-    log = Logger("teacher", args.wandb_project or None,
+    log = Logger("teacher", wandb_project(args),
                  args.wandb_run_name or None, tcfg.to_dict())
     _, meta, anchor_ds = load_data(args, dcfg)
     duett = sync_duett_with_meta(duett, meta, log)

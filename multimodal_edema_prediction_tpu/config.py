@@ -187,6 +187,12 @@ class PerceiverConfig(_ConfigBase):
     head_hidden: int = 64
     head_dropout: float = 0.2
     ts_ablation: str = "hourly_only"  # {'full','hourly_only','rep_only'}
+    # 'legacy' TemporalPerceiver geometry (run.py:75-76)
+    n_latents: int = 16
+    n_layers: int = 2
+    # correction-head dropout override; None → head_dropout. The reference
+    # resets it to --lp_correction_dropout in LP mode (trainer.py:365-370).
+    correction_dropout: Optional[float] = None
 
 
 @dataclass(frozen=True)
@@ -270,7 +276,16 @@ class TrainConfig(_ConfigBase):
     alpha_ts: float = 0.5
     alpha_fus: float = 1.0
     aux_residual_alpha: float = 0.0
+    # 'single'-mode stage weights: total = s2·stage2 + s4·stage4
+    # (run.py:134-137, loss/losses_duett.py:63-125)
+    aux_stage2_alpha: float = 1.0
+    aux_stage4_alpha: float = 0.5
+    # legacy-mode auxiliary CXR head: total = main_bce + aux_cxr_alpha·aux_bce
+    # (run.py:120-123, engine.py:42-73)
+    use_aux_cxr: bool = False
+    aux_cxr_alpha: float = 0.0
     # KD (run.py:200-204)
+    kd_name: str = "vanilla_kl"
     kd_T: float = 4.0
     kd_alpha: float = 0.5
     # mesh

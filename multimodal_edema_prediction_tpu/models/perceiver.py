@@ -87,6 +87,14 @@ class CorrectionHead(nn.Module):
                      zero_init_out=True, name="head")(h, train=train)
 
 
+def _correction_dropout(cfg: PerceiverConfig) -> float:
+    """Correction-head dropout: ``correction_dropout`` when set, otherwise
+    the shared head dropout. LP mode overrides it to ``--lp_correction_
+    dropout`` (reference trainer.py:365-370 resets the module's p in-place)."""
+    return cfg.head_dropout if cfg.correction_dropout is None \
+        else cfg.correction_dropout
+
+
 class PatchDualPathologyPerceiver(nn.Module):
     """K shared pathology queries cross-attend image patches and DuETT
     hourly tokens; residual fusion on top (reference :538-654)."""
@@ -163,7 +171,7 @@ class PatchDualPathologyPerceiver(nn.Module):
                           name="temporal_head")(Tk, train=train).squeeze(-1)
         ts_logits = ts_logits.astype(jnp.float32) + ts_bias[None, :]
 
-        corr = CorrectionHead(cfg.head_hidden, cfg.head_dropout,
+        corr = CorrectionHead(cfg.head_hidden, _correction_dropout(cfg),
                               name="correction_head")(
             Tk, train=train).squeeze(-1).astype(jnp.float32)
         scaled_corr = beta[None, :] * corr
@@ -335,7 +343,7 @@ class EventPatchPerceiver(nn.Module):
                           name="temporal_head")(Tk, train=train).squeeze(-1)
         ts_logits = ts_logits.astype(jnp.float32) + ts_bias[None, :]
 
-        corr = CorrectionHead(cfg.head_hidden, cfg.head_dropout,
+        corr = CorrectionHead(cfg.head_hidden, _correction_dropout(cfg),
                               name="correction_head")(
             Tk, train=train).squeeze(-1).astype(jnp.float32)
         scaled_corr = beta[None, :] * corr
@@ -369,22 +377,26 @@ class TemporalPerceiver(nn.Module):
     """
     cfg: PerceiverConfig
     d_ts: int
-    n_latents: int = 16
-    n_layers: int = 2
+    # explicit values override the config (cfg.n_latents / cfg.n_layers,
+    # the reference's --n_latents/--n_perceiver_layers, run.py:75-76)
+    n_latents: Optional[int] = None
+    n_layers: Optional[int] = None
 
     @nn.compact
     def __call__(self, ts_tokens: jnp.ndarray, img_kv_proj: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
         cfg = self.cfg
+        n_latents = cfg.n_latents if self.n_latents is None else self.n_latents
+        n_layers = cfg.n_layers if self.n_layers is None else self.n_layers
         B = ts_tokens.shape[0]
         dtype = ts_tokens.dtype
         latents = self.param("latents", nn.initializers.normal(0.02),
-                             (self.n_latents, cfg.d_latent), jnp.float32)
+                             (n_latents, cfg.d_latent), jnp.float32)
         h = jnp.broadcast_to(latents.astype(dtype),
-                             (B, self.n_latents, cfg.d_latent))
+                             (B, n_latents, cfg.d_latent))
         ts_kv = nn.Dense(cfg.d_latent, dtype=dtype, param_dtype=jnp.float32,
                          name="ts_proj")(ts_tokens)
-        for i in range(self.n_layers):
+        for i in range(n_layers):
             h = PerceiverBlock(cfg.n_heads, cfg.dropout,
                                name=f"img_block_{i}")(h, img_kv_proj,
                                                       train=train)

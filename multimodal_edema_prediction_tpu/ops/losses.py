@@ -122,12 +122,26 @@ def binary_kl_kd(z_s, z_t, T: float = 4.0, eps: float = 1e-7) -> jnp.ndarray:
     return (T ** 2) * kl.mean()
 
 
+# KD-loss registry keyed by the --kd_name flag (the reference's
+# build_kd_loss, loss/losses_duett.py:28-36 — 'vanilla_kl' is the only
+# entry there too; unknown names fail fast with the available list).
+KD_LOSSES = {"vanilla_kl": binary_kl_kd}
+
+
+def resolve_kd_loss(name: str):
+    if name not in KD_LOSSES:
+        raise ValueError(f"unknown KD loss: {name!r}. "
+                         f"available: {list(KD_LOSSES)}")
+    return KD_LOSSES[name]
+
+
 def student_kd_loss(z_s, z_t, y, kd_T: float = 4.0, kd_alpha: float = 0.5,
-                    pos_weight: Optional[float] = None) -> dict:
+                    pos_weight: Optional[float] = None,
+                    kd_name: str = "vanilla_kl") -> dict:
     """total = α·BCE(z_s, y) + (1-α)·KD(z_s, z_t)."""
     pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
     loss_bce = bce_with_logits(z_s, y, pos_weight=pw)
-    loss_kd = binary_kl_kd(z_s, z_t, T=kd_T)
+    loss_kd = resolve_kd_loss(kd_name)(z_s, z_t, T=kd_T)
     return {
         "total": kd_alpha * loss_bce + (1.0 - kd_alpha) * loss_kd,
         "bce": loss_bce, "kd": loss_kd,

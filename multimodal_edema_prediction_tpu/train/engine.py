@@ -405,7 +405,8 @@ def make_kd_step(student_model, teacher_model, cfg: TrainConfig,
                 x_in, x_static, times, train=True,
                 rngs={"dropout": r_drop}, mutable=["batch_stats"])
             losses = L.student_kd_loss(z_s, z_t, batch["y"],
-                                       cfg.kd_T, cfg.kd_alpha)
+                                       cfg.kd_T, cfg.kd_alpha,
+                                       kd_name=cfg.kd_name)
             return losses["total"], (mut, losses, z_s)
 
         (_, (mut, losses, z_s)), grads = jax.value_and_grad(

@@ -431,6 +431,8 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
         elif mode == "single":
             train_step = engine.make_teacher_pathology_step(
                 model, cfg, teacher_cfg.duett, T, lw, None, dtype,
+                alpha_stage2=cfg.aux_stage2_alpha,
+                alpha_stage4=cfg.aux_stage4_alpha,
                 image_source=image_source, feature_source=feature_source)
             eval_step = engine.make_teacher_pathology_eval(
                 model, T, dtype, image_source,
@@ -439,7 +441,8 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
         elif mode == "legacy":
             train_step = engine.make_teacher_legacy_step(
                 model, cfg, teacher_cfg.duett, T, dtype,
-                aux_alpha=cfg.alpha_img, image_source=image_source)
+                aux_alpha=(cfg.aux_cxr_alpha if cfg.use_aux_cxr else 0.0),
+                image_source=image_source)
             eval_step = engine.make_supervised_ts_eval  # placeholder below
             loss_keys = ("loss", "main_loss", "aux_loss")
 
@@ -528,6 +531,12 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
             else:
                 batches = (meshlib.shard_batch(b, mesh)
                            for b in _host_batches())
+            # per-step scalar logging only when a wandb sink is live —
+            # the fetch is a host sync, so the default path stays sync-free
+            # (the reference logs running losses every --log_every steps,
+            # trainer.py:481-529)
+            step_log = cfg.log_every > 0 \
+                and getattr(log, "_wb", None) is not None
             for dev_batch in batches:
                 step_rng, sub = jax.random.split(step_rng)
                 if multi:   # raw key bits: numpy inputs replicate globally
@@ -537,6 +546,10 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                 acc = cur if acc is None else _acc_add(acc, cur)
                 nb += 1
                 n_steps += 1
+                if step_log and n_steps % cfg.log_every == 0:
+                    log.metrics({f"train_step/{k}":
+                                 float(mh.fetch_global(cur[k]))
+                                 for k in loss_keys}, n_steps)
             run = {k: float(mh.fetch_global(acc[k])) for k in loss_keys} \
                 if acc is not None else {k: 0.0 for k in loss_keys}
             if not np.isfinite(run[loss_keys[0]]):

@@ -473,6 +473,10 @@ def test_training_trajectory_parity(rig, monkeypatch, tmp_path, mode):
     cfg = TrainConfig(
         batch_size=n_train, epochs=EPOCHS, patience=0, seed=0,
         dtype="float32", n_data=1, n_model=1,
+        # legacy runs the reference with --use_aux_cxr --aux_cxr_alpha 0.5
+        # (_run_reference argv above) — mirror the faithful mapping here
+        use_aux_cxr=(mode == "legacy"),
+        aux_cxr_alpha=0.5 if mode == "legacy" else 0.0,
         optim=OptimConfig(lr=LR, weight_decay=WD, warmup_steps=1,
                           min_lr_ratio=MIN_LR_RATIO, grad_clip=0.0))
 
