@@ -49,6 +49,11 @@ def main(argv=None):
     p.add_argument("--labels", type=str, default="",
                    help="comma-separated label names (default: the "
                         "DataConfig pathology set)")
+    p.add_argument("--aot_dir", type=str, default="",
+                   help="persist each bucket's compiled executable here "
+                        "(utils/aot.py): restarts reload instead of "
+                        "recompiling, so warmup drops from a full XLA "
+                        "compile per bucket to a host-side lowering")
     args = p.parse_args(argv)
 
     from ..analysis.common import load_teacher
@@ -110,7 +115,7 @@ def main(argv=None):
         model, params, batch_stats, image_source=image_source,
         feature_source=feature_source, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
-        labels=labels, mesh=mesh).start()
+        labels=labels, mesh=mesh, aot_dir=args.aot_dir or None).start()
 
     T, V = cfg.duett.n_timesteps, cfg.duett.n_variables
     example = {"x_ts": np.zeros((T, 2 * V), np.float32),
@@ -120,6 +125,10 @@ def main(argv=None):
     print("pre-compiling buckets ...", flush=True)
     times = pred.warmup(example)
     print(f"warm: {times}", flush=True)
+    if args.aot_dir:
+        print(f"aot cache: {sum(pred.aot_hits.values())}/"
+              f"{len(pred.aot_hits)} buckets loaded from {args.aot_dir}",
+              flush=True)
 
     meta = {"n_timesteps": T, "n_variables": V,
             "d_static": cfg.duett.d_static, "image_size": S,

@@ -105,7 +105,8 @@ class BatchingPredictor:
                  max_queue: int = 1024, dtype=None,
                  n_pathologies: Optional[int] = None,
                  labels: Optional[Sequence[str]] = None,
-                 mesh=None, buckets: Optional[Sequence[int]] = None):
+                 mesh=None, buckets: Optional[Sequence[int]] = None,
+                 aot_dir: Optional[str] = None):
         import jax.numpy as jnp
         from ..train import engine
 
@@ -139,6 +140,11 @@ class BatchingPredictor:
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self.labels = list(labels) if labels is not None else None
+        # per-bucket AOT executables (filled by warmup); buckets without an
+        # entry fall back to the jitted step
+        self._aot_dir = aot_dir
+        self._compiled: dict = {}
+        self.aot_hits: dict = {}
 
     # ------------------------------------------------------------- lifecycle
     def start(self) -> "BatchingPredictor":
@@ -165,13 +171,30 @@ class BatchingPredictor:
     def warmup(self, example: dict) -> dict:
         """Pre-compile every bucket from ONE example request dict; returns
         per-bucket compile seconds. Run before opening the port so the
-        first real request never pays a compile."""
+        first real request never pays a compile.
+
+        With ``aot_dir`` set, each bucket's compiled executable is persisted
+        there (``utils/aot.py``) and reloaded on the next process start —
+        warmup then costs one host-side lowering per bucket instead of a
+        full backend compile (``self.aot_hits`` records which path each
+        bucket took)."""
         times = {}
         for b in self.buckets:
             items = [self._parse(example) for _ in range(b)]
             for it in items:
                 it.future = Future()
             t0 = time.time()
+            if self._aot_dir is not None and b not in self._compiled:
+                from ..utils.aot import load_or_compile
+                args = self._assemble(items, b)
+                try:
+                    compiled, hit = load_or_compile(
+                        self._step.lower(self._params, self._stats_vars,
+                                         *args), self._aot_dir)
+                    self._compiled[b] = compiled
+                    self.aot_hits[b] = hit
+                except Exception:   # lowering/serialization quirk → jit path
+                    self.aot_hits[b] = False
             self._run_batch(items, bucket=b, record=False)
             times[b] = round(time.time() - t0, 3)
         return times
@@ -272,11 +295,9 @@ class BatchingPredictor:
                     if not it.future.done():
                         it.future.set_exception(e)
 
-    def _run_batch(self, items: list, bucket: Optional[int] = None,
-                   record: bool = True) -> None:
+    def _assemble(self, items: list, bucket: int) -> tuple:
+        """Pad-to-bucket array assembly: (x_ts, static, batch)."""
         n = len(items)
-        if bucket is None:
-            bucket = next(b for b in self.buckets if b >= n)
         # pad by repeating row 0 — real data, so bank-mode NaN poisoning
         # for invalid ids never triggers on padding
         idx = list(range(n)) + [0] * (bucket - n)
@@ -294,7 +315,16 @@ class BatchingPredictor:
             sh = meshlib.batch_sharding(self._mesh)
             x_ts, static = jax.device_put(x_ts, sh), jax.device_put(static, sh)
             batch = meshlib.shard_batch(batch, self._mesh)
-        out = self._step(self._params, self._stats_vars, x_ts, static, batch)
+        return x_ts, static, batch
+
+    def _run_batch(self, items: list, bucket: Optional[int] = None,
+                   record: bool = True) -> None:
+        n = len(items)
+        if bucket is None:
+            bucket = next(b for b in self.buckets if b >= n)
+        x_ts, static, batch = self._assemble(items, bucket)
+        step = self._compiled.get(bucket, self._step)
+        out = step(self._params, self._stats_vars, x_ts, static, batch)
         out = {k: np.asarray(v, np.float32)[:n] for k, v in out.items()}
         if "fusion_logits" not in out:
             raise RuntimeError(

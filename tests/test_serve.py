@@ -283,3 +283,75 @@ def test_mesh_mode_dp_over_8_devices():
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
     finally:
         pred.close()
+
+
+def test_aot_warmup_persists_and_reloads(tmp_path):
+    """AOT serving tier: warmup persists each bucket's compiled executable
+    (utils/aot.py); a fresh predictor (fresh process in production) reloads
+    them instead of recompiling, and served results are identical."""
+    cfg = tiny_cfg()
+    model = TeacherModel(cfg)
+    variables = init_teacher(model, cfg, 4, cfg.duett.n_timesteps,
+                             jax.random.key(3))
+    aot = str(tmp_path / "aot")
+    T, V = cfg.duett.n_timesteps, cfg.duett.n_variables
+    example = {"x_ts": np.zeros((T, 2 * V), np.float32),
+               "static": np.zeros(cfg.duett.d_static, np.float32),
+               "pixel_u8": np.zeros((S_IMG, S_IMG, 3), np.uint8)}
+    reqs = _requests(cfg, 3, seed=7)
+    want = _direct_logits(model, variables, reqs, cfg)
+
+    import os
+
+    def serve_once(expect_hits):
+        pred = BatchingPredictor(
+            model, variables["params"], variables["batch_stats"],
+            max_batch=4, max_wait_ms=5.0, dtype=jnp.float32,
+            aot_dir=aot).start()
+        try:
+            pred.warmup(example)
+            assert set(pred._compiled) == set(pred.buckets)
+            assert pred.aot_hits == {b: expect_hits for b in pred.buckets}
+            got = np.stack([np.asarray(pred.predict(r)["fusion_logits"])
+                            for r in reqs])
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+        finally:
+            pred.close()
+
+    serve_once(expect_hits=False)                  # cold: compile + persist
+    files = [f for f in os.listdir(aot) if f.endswith(".aotx")]
+    assert len(files) == 3                          # buckets (1, 2, 4)
+    serve_once(expect_hits=True)                   # warm: load, no compile
+
+
+@pytest.mark.slow
+def test_aot_warmup_mesh_mode(tmp_path):
+    """AOT persistence composes with DP-mesh serving: the recorded device
+    set is the mesh's, and a reload serves identical results."""
+    from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
+    cfg = tiny_cfg()
+    model = TeacherModel(cfg)
+    variables = init_teacher(model, cfg, 4, cfg.duett.n_timesteps,
+                             jax.random.key(5))
+    mesh = meshlib.create_mesh(4, 2)
+    params = meshlib.shard_params(variables["params"], mesh)
+    aot = str(tmp_path / "aot")
+    T, V = cfg.duett.n_timesteps, cfg.duett.n_variables
+    example = {"x_ts": np.zeros((T, 2 * V), np.float32),
+               "static": np.zeros(cfg.duett.d_static, np.float32),
+               "pixel_u8": np.zeros((S_IMG, S_IMG, 3), np.uint8)}
+    reqs = _requests(cfg, 4, seed=9)
+    want = _direct_logits(model, variables, reqs, cfg)
+    for expect_hits in (False, True):
+        pred = BatchingPredictor(
+            model, params, variables["batch_stats"], max_batch=4,
+            max_wait_ms=5.0, dtype=jnp.float32, mesh=mesh,
+            aot_dir=aot).start()
+        try:
+            pred.warmup(example)
+            assert pred.aot_hits == {b: expect_hits for b in pred.buckets}
+            got = np.stack([np.asarray(pred.predict(r)["fusion_logits"])
+                            for r in reqs])
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+        finally:
+            pred.close()
