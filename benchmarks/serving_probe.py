@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=4.0)
     p.add_argument("--tiny", action="store_true",
                    help="tiny geometry (CPU smoke)")
+    p.add_argument("--aot_dir", type=str, default="",
+                   help="measure cold-vs-warm warmup through the AOT "
+                        "executable cache: run once to populate, again to "
+                        "reload (utils/aot.py)")
     args = p.parse_args(argv)
 
     import jax
@@ -71,7 +75,7 @@ def main(argv=None):
         model, variables["params"], variables["batch_stats"],
         image_source=make_bank_image_source(bank),
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        max_queue=4096).start()
+        max_queue=4096, aot_dir=args.aot_dir or None).start()
 
     def req(i):
         return {"x_ts": rng.normal(size=(T, 2 * V)).astype(np.float32),
@@ -108,6 +112,7 @@ def main(argv=None):
     dt = time.time() - t0
     qps = sum(counts) / dt
     st = pred.stats()
+    pred_aot_hits = dict(pred.aot_hits)
     pred.close()
 
     print(json.dumps({
@@ -115,6 +120,7 @@ def main(argv=None):
         "geometry": "tiny" if args.tiny else "full",
         "warmup_s": round(warm_s, 1),
         "bucket_compile_s": compile_times,
+        "aot_hits": pred_aot_hits,
         "batch1_latency_ms": {"p50": round(float(np.percentile(lat, 50)), 2),
                               "p90": round(float(np.percentile(lat, 90)), 2),
                               "p99": round(float(np.percentile(lat, 99)), 2)},
