@@ -10,7 +10,12 @@ shapes (value-distinct inputs per call — see flash_tune.py's timing note):
 - DuETT encoder fwd alone
 - perceiver fwd alone (on fake tokens)
 
-Usage: python benchmarks/step_breakdown.py [batch]
+With ``cached`` as the second argument, decompose the ENCODE-ONCE tier's
+step instead (feature-bank gather replaces the ViT forward) — used to find
+what binds the cached step at large batch (it plateaus ~12.5k samples/s
+between b512 and b1024 on v5e-1).
+
+Usage: python benchmarks/step_breakdown.py [batch] [cached]
 """
 import sys
 import time
@@ -35,6 +40,7 @@ def timeit(fn, variants, iters=10, warmup=2):
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    cached = len(sys.argv) > 2 and sys.argv[2] == "cached"
     from multimodal_edema_prediction_tpu.config import (TeacherConfig,
                                                         TrainConfig)
     from multimodal_edema_prediction_tpu.models.duett import DuettEncoder
@@ -93,6 +99,17 @@ def main():
 
         batches = [make_batch(s) for s in range(2)]
         src = make_bank_image_source(bank)
+        feat_src = None
+        if cached:
+            from multimodal_edema_prediction_tpu.data.features import \
+                CXRFeatureBank
+            P = cfg.vit.n_patches
+            fbank = CXRFeatureBank(
+                np.arange(32, dtype=np.int64),
+                rng.normal(size=(32, cfg.d_img)).astype(jnp.bfloat16),
+                rng.normal(size=(32, P, cfg.d_img)).astype(jnp.bfloat16),
+                device_put=lambda a: jax.device_put(a, rep))
+            feat_src = fbank.feature_source(keyed_by_row=True)
         # independent device-resident copies — they survive the donating
         # train step below (host args would re-transfer 344 MB per call
         # through the tunnel)
@@ -101,17 +118,23 @@ def main():
         b0 = jax.device_put(
             jax.tree.map(np.asarray, variables["batch_stats"]), rep)
 
-        ev = engine.make_teacher_eval(model, T, dt, src)
+        ev = engine.make_teacher_eval(model, T, dt, src,
+                                      feature_source=feat_src)
         ms_eval = timeit(lambda b: ev(p0, b0, grid, static,
                                       b)["main_logit"],
                          [(b,) for b in batches])
 
-        # ViT forward alone
-        vit = DinoViT(cfg.vit)
-        vparams = {"params": jax.tree.map(np.asarray,
-                                          variables["params"]["cxr"])}
-        vit_fwd = jax.jit(lambda px: vit.apply(vparams, px)[1])
-        ms_vit = timeit(vit_fwd, [(x,) for x in mk((B, S, S, 3), 0.5)])
+        if cached:
+            # feature-bank gather alone (replaces the ViT fwd in this tier)
+            gather = jax.jit(lambda b: feat_src(b)[1])
+            ms_vit = timeit(gather, [(b,) for b in batches])
+        else:
+            # ViT forward alone
+            vit = DinoViT(cfg.vit)
+            vparams = {"params": jax.tree.map(np.asarray,
+                                              variables["params"]["cxr"])}
+            vit_fwd = jax.jit(lambda px: vit.apply(vparams, px)[1])
+            ms_vit = timeit(vit_fwd, [(x,) for x in mk((B, S, S, 3), 0.5)])
 
         # DuETT encoder fwd alone
         duett = DuettEncoder(cfg.duett)
@@ -140,7 +163,8 @@ def main():
 
         # full train step LAST (donates/deletes the state buffers)
         step = engine.make_teacher_step(model, tcfg, cfg.duett, T,
-                                        np.ones(K, np.float32), None, dt, src)
+                                        np.ones(K, np.float32), None, dt, src,
+                                        feature_source=feat_src)
 
         def full(batch, key):
             nonlocal state
@@ -149,12 +173,15 @@ def main():
         ms_full = timeit(full, [(b, jax.random.key(i))
                                 for i, b in enumerate(batches)])
 
-    print(f"batch {B}  (ms/step; tunnel RTT inflates each by the same "
-          f"constant ≈ a few ms at 10 iters)")
-    print(f"  full train step : {ms_full:7.2f}")
+    tier = "cached (encode-once)" if cached else "fused (in-step ViT)"
+    print(f"batch {B}  tier={tier}  (ms/step; tunnel RTT inflates each by "
+          f"the same constant ≈ a few ms at 10 iters)")
+    print(f"  full train step : {ms_full:7.2f}   "
+          f"({B / ms_full * 1000:.0f} samples/s)")
     print(f"  eval (no bwd)   : {ms_eval:7.2f}   bwd+opt ≈ "
           f"{ms_full - ms_eval:.2f}")
-    print(f"  ViT fwd alone   : {ms_vit:7.2f}")
+    print(f"  {'feat gather' if cached else 'ViT fwd'} alone   : "
+          f"{ms_vit:7.2f}")
     print(f"  DuETT fwd alone : {ms_duett:7.2f}")
     print(f"  perceiver alone : {ms_perc:7.2f}")
     print(f"  residual (gather/loss/misc) ≈ "
