@@ -39,3 +39,31 @@ def test_mode_trains_one_epoch(anchor_ds, mode, tmp_path):
     assert np.isfinite(res.best_metric)
     assert np.isfinite(res.test_metrics["main_auroc"])
     assert res.best_path.endswith(".msgpack")
+
+
+@pytest.mark.slow
+def test_log_every_step_metrics(anchor_ds, tmp_path):
+    """--log_every emits per-step scalars ONLY when a wandb sink is live
+    (the default path must stay free of per-step host syncs)."""
+    from multimodal_edema_prediction_tpu.utils.logging import Logger
+
+    class _Sink:
+        def __init__(self):
+            self.rows = []
+
+        def log(self, data, step=None):
+            self.rows.append((step, data))
+
+    cfg = TrainConfig(batch_size=16, epochs=1, patience=1, dtype="float32",
+                      limit_batches=4, log_every=2,
+                      optim=OptimConfig(lr=1e-3, warmup_steps=2))
+    log = Logger("t")
+    log._wb = _Sink()
+    res = train_teacher(anchor_ds, BASE, cfg, str(tmp_path / "a"),
+                        DataConfig().pathology_labels, logger=log)
+    assert np.isfinite(res.best_metric)
+    step_rows = [(s, d) for s, d in log._wb.rows
+                 if any(k.startswith("train_step/") for k in d)]
+    assert [s for s, _ in step_rows] == [2, 4]       # 4 steps, every 2nd
+    assert all(np.isfinite(v) for _, d in step_rows for v in d.values())
+    # (the sink-less sync-free path is what every other loop test runs)
