@@ -566,17 +566,21 @@ def measure_serving(n_clients: int = 32, seconds: float = 10.0,
     rng = np.random.default_rng(0)
     bank = jnp.asarray(rng.random((image_bank_size, S, S, 3), np.float32)
                        .astype(jnp.bfloat16))
+    # persist the bucket executables across bench invocations (utils/aot.py)
+    aot_dir = os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"], "serve")
     pred = BatchingPredictor(
         model, variables["params"], variables["batch_stats"],
         image_source=make_bank_image_source(bank), buckets=(1, 32),
-        max_wait_ms=4.0, max_queue=4096).start()
+        max_wait_ms=4.0, max_queue=4096, aot_dir=aot_dir).start()
     try:
         def req(i):
             return {"x_ts": rng.normal(size=(T, 2 * V)).astype(np.float32),
                     "static": rng.normal(size=D).astype(np.float32),
                     "image_id": int(i % image_bank_size)}
 
+        t_warm = time.time()
         pred.warmup(req(0))
+        warm_s = round(time.time() - t_warm, 1)
         lat = []
         for i in range(20):
             t = time.time()
@@ -605,7 +609,9 @@ def measure_serving(n_clients: int = 32, seconds: float = 10.0,
     return {"batch1_latency_ms_p50": round(float(np.percentile(lat, 50)), 1),
             "batch1_latency_ms_p99": round(float(np.percentile(lat, 99)), 1),
             "sustained_qps": round(qps, 1), "clients": n_clients,
-            "mean_formed_batch": round(st["mean_batch_size"], 2)}
+            "mean_formed_batch": round(st["mean_batch_size"], 2),
+            "warmup_s": warm_s,
+            "aot_bucket_hits": sum(pred.aot_hits.values())}
 
 
 def measure_ssl_throughput(batch_size: int = 512, n_steps: int = 10,
