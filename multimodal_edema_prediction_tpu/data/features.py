@@ -25,7 +25,13 @@ gradient ever flows into the cached tensors.
 
 Invalid ids NaN-poison the gathered rows (same contract as
 ``teacher_loop.make_bank_image_source``) so a broken id→row mapping trips
-the finite-loss guard instead of silently training on wrong features.
+the finite-loss guard instead of silently training on wrong features. The
+poisoning is free: the device bank carries one extra all-NaN sentinel row
+and invalid ids are remapped to it BEFORE the gather (a [B] integer op),
+so no post-gather ``where`` pass re-touches the [B,1370,768] output. The
+gather itself is a Pallas scalar-prefetch DMA kernel on TPU
+(``ops/pallas_gather.py``; measured 5.2 ms vs XLA's 7.2 ms for a b512
+patch-token gather on v5e) and plain ``bank[rows]`` elsewhere.
 """
 from __future__ import annotations
 
@@ -127,8 +133,12 @@ class CXRFeatureBank:
         import jax
         put = device_put or jax.device_put
         self.ids = np.asarray(ids, np.int64)
-        self.cls = put(cls)
-        self.patches = put(patches)
+        # One extra all-NaN sentinel row: invalid ids gather it directly,
+        # replacing a full-size post-gather `where` pass (module docstring).
+        nan_row = np.full((1,) + cls.shape[1:], np.nan, cls.dtype)
+        nan_prow = np.full((1,) + patches.shape[1:], np.nan, patches.dtype)
+        self.cls = put(np.concatenate([cls, nan_row]))
+        self.patches = put(np.concatenate([patches, nan_prow]))
 
     @classmethod
     def build(cls, encode_fn, pixels_for_ids, image_ids, chunk: int = 16,
@@ -140,7 +150,8 @@ class CXRFeatureBank:
 
     @staticmethod
     def nbytes(n_images: int, n_patches: int = 1369, d: int = 768) -> int:
-        return int(n_images) * (n_patches + 1) * d * 2   # bf16
+        # +1: the NaN sentinel row appended in __init__.
+        return (int(n_images) + 1) * (n_patches + 1) * d * 2   # bf16
 
     def rows_for(self, image_ids: np.ndarray) -> np.ndarray:
         return _rows_for(self.ids, image_ids, "feature bank")
@@ -163,22 +174,22 @@ class CXRFeatureBank:
         rows by a device-side ``searchsorted`` over the sorted id vector —
         a [B]×log(N) scan, negligible."""
         import jax.numpy as jnp
+
+        from ..ops.pallas_gather import gather_rows
         cls_bank, patch_bank = self.cls, self.patches
-        n = cls_bank.shape[0]
+        n = cls_bank.shape[0] - 1          # last row is the NaN sentinel
         ids_dev = None if keyed_by_row else jnp.asarray(self.ids)
 
         def source(batch):
             ids = batch["image_ids"]
             if keyed_by_row:
-                rows = jnp.clip(ids, 0, n - 1)
-                bad = ((ids < 0) | (ids >= n))
+                bad = (ids < 0) | (ids >= n)
+                rows = jnp.where(bad, n, ids)
             else:
                 rows = jnp.clip(jnp.searchsorted(ids_dev, ids), 0, n - 1)
-                bad = ids_dev[rows] != ids
-            cls = jnp.where(bad[:, None], jnp.nan, cls_bank[rows])
-            patches = jnp.where(bad[:, None, None], jnp.nan,
-                                patch_bank[rows])
-            return cls, patches
+                rows = jnp.where(ids_dev[rows] != ids, n, rows)
+            rows = rows.astype(jnp.int32)
+            return gather_rows(cls_bank, rows), gather_rows(patch_bank, rows)
         return source
 
 
