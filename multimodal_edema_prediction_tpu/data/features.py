@@ -163,7 +163,7 @@ class CXRFeatureBank:
             return {**batch, "image_ids": self.rows_for(batch["image_ids"])}
         return fn
 
-    def feature_source(self, keyed_by_row: bool = True
+    def feature_source(self, keyed_by_row: bool = True, mesh=None
                        ) -> Callable[[dict], tuple]:
         """Device-side gather for the jitted step; invalid keys are
         NaN-poisoned (see module docstring).
@@ -172,7 +172,11 @@ class CXRFeatureBank:
         rewritten to bank rows by :meth:`host_fn`. ``False`` (analysis paths
         that assemble batches without the hook): raw image ids resolve to
         rows by a device-side ``searchsorted`` over the sorted id vector —
-        a [B]×log(N) scan, negligible."""
+        a [B]×log(N) scan, negligible.
+
+        ``mesh``: pass the training mesh when the step shards the batch —
+        the Pallas gather then runs per-shard under ``shard_map`` (see
+        ``ops/pallas_gather.gather_rows``)."""
         import jax.numpy as jnp
 
         from ..ops.pallas_gather import gather_rows
@@ -189,7 +193,8 @@ class CXRFeatureBank:
                 rows = jnp.clip(jnp.searchsorted(ids_dev, ids), 0, n - 1)
                 rows = jnp.where(ids_dev[rows] != ids, n, rows)
             rows = rows.astype(jnp.int32)
-            return gather_rows(cls_bank, rows), gather_rows(patch_bank, rows)
+            return (gather_rows(cls_bank, rows, mesh=mesh),
+                    gather_rows(patch_bank, rows, mesh=mesh))
         return source
 
 

@@ -58,23 +58,37 @@ def _gather_rows_3d(bank: jnp.ndarray, rows: jnp.ndarray,
 
 
 def gather_rows(bank: jnp.ndarray, rows: jnp.ndarray,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, mesh=None,
+                data_axis: str = "data") -> jnp.ndarray:
     """``bank[rows]`` for a [N, ...] bank and [B] int rows, at DMA rate.
 
     Row indices must be in-range (callers map invalid ids to a sentinel row
     BEFORE the gather — see ``data/features.py``); out-of-range behavior is
     whatever the DMA does, not an error.
+
+    Multi-device: GSPMD cannot auto-partition a pallas_call, so when the
+    caller is sharding ``rows`` over a mesh axis it must pass ``mesh`` —
+    the kernel then runs under ``shard_map`` (bank replicated, rows/output
+    sharded on ``data_axis``), i.e. each device DMA-gathers its own batch
+    shard from its local bank copy. Without a mesh, multi-device callers
+    fall back to XLA's gather.
     """
-    if not interpret and (jax.default_backend() != "tpu"
-                          or jax.device_count() != 1):
-        # Non-TPU backends: plain gather. Multi-device: GSPMD cannot
-        # auto-partition a pallas_call (it would replicate the whole bank
-        # through collectives); the sharded step keeps XLA's gather until a
-        # shard_map-wrapped variant is measured on real multi-chip hardware.
-        return bank[rows]
     if bank.ndim == 2:      # [N, D] (CLS rows): tiny — one reshaped call
-        out = _gather_rows_3d(bank[:, None, :], rows, interpret)
+        out = gather_rows(bank[:, None, :], rows, interpret, mesh, data_axis)
         return out[:, 0, :]
     if bank.ndim != 3:
         raise ValueError(f"bank must be [N, D] or [N, P, D], got {bank.shape}")
+    if not interpret and jax.default_backend() != "tpu":
+        return bank[rows]
+    if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+        P = jax.sharding.PartitionSpec
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+        # axes annotation, which the checker (jax>=0.9) otherwise requires.
+        f = jax.shard_map(
+            functools.partial(_gather_rows_3d, interpret=interpret),
+            mesh=mesh, in_specs=(P(), P(data_axis)),
+            out_specs=P(data_axis), check_vma=False)
+        return f(bank, rows)
+    if not interpret and jax.device_count() != 1:
+        return bank[rows]
     return _gather_rows_3d(bank, rows, interpret)

@@ -121,7 +121,7 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                 device_put=lambda a: jax.device_put(
                     a, meshlib.replicated(mesh)))
             dataset.batch_hook = fbank.host_fn()
-            feature_source = fbank.feature_source()
+            feature_source = fbank.feature_source(mesh=mesh)
             tier = "HBM token bank"
         else:
             own = all_ids

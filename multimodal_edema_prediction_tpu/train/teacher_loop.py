@@ -365,7 +365,7 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                     device_put=lambda a: jax.device_put(
                         a, meshlib.replicated(mesh)))
                 dataset.batch_hook = fbank.host_fn()
-                feature_source = fbank.feature_source()
+                feature_source = fbank.feature_source(mesh=mesh)
                 tier = "HBM-resident token bank"
             else:
                 fstore = F.HostFeatureStore.build(

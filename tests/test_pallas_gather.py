@@ -88,3 +88,26 @@ def test_feature_bank_sentinel_poisons_invalid_rows():
 def test_feature_bank_nbytes_counts_sentinel():
     from multimodal_edema_prediction_tpu.data import features as F
     assert F.CXRFeatureBank.nbytes(0, n_patches=1369, d=768) == 1370 * 768 * 2
+
+
+def test_gather_rows_shard_map_interpret_on_cpu_mesh():
+    # The multi-chip path: bank replicated, rows sharded on the data axis,
+    # the kernel running per-shard under shard_map. Exercised in interpret
+    # mode on the 8-device CPU mesh (real-TPU numerics are covered by the
+    # single-device kernel, identical per shard).
+    from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
+    mesh = meshlib.create_mesh(0, 1)
+    n_data = mesh.shape["data"]
+    assert n_data > 1, "conftest should provide a multi-device CPU mesh"
+    rng = np.random.default_rng(4)
+    bank = rng.normal(size=(19, 8, 128)).astype(np.float32)
+    rows = rng.integers(0, 19, size=2 * n_data).astype(np.int32)
+    with mesh:
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        by_data = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+        bank_dev = jax.device_put(jnp.asarray(bank), rep)
+        rows_dev = jax.device_put(jnp.asarray(rows), by_data)
+        out = jax.jit(lambda b, r: gather_rows(b, r, interpret=True,
+                                               mesh=mesh))(bank_dev, rows_dev)
+    np.testing.assert_array_equal(np.asarray(out), bank[rows])
