@@ -59,6 +59,11 @@ def add_common_flags(p: argparse.ArgumentParser):
                    help="per-step wandb scalar cadence (run.py:105; only "
                         "active with a live wandb sink — the default path "
                         "stays host-sync-free)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="fuse K optimizer steps into one jitted lax.scan "
+                        "program (engine.scan_steps) — amortizes per-step "
+                        "host dispatch on the device-resident input tiers; "
+                        "semantics are bit-identical to K single steps")
     p.add_argument("--ckpt_dir", type=str, default="runs")
     p.add_argument("--wandb_project", type=str, default="")
     p.add_argument("--wandb_run_name", type=str, default="")
@@ -108,6 +113,7 @@ def configs_from_args(args) -> tuple:
         use_aux_cxr=getattr(args, "use_aux_cxr", False),
         aux_cxr_alpha=getattr(args, "aux_cxr_alpha", 0.0),
         kd_name=getattr(args, "kd_name", "vanilla_kl"),
+        steps_per_call=getattr(args, "steps_per_call", 1),
         optim=OptimConfig(
             lr=args.lr, backbone_lr_mult=args.backbone_lr_mult,
             query_lr_mult=args.query_lr_mult,

@@ -291,6 +291,11 @@ class TrainConfig(_ConfigBase):
     # mesh
     n_data: int = 0                  # 0 → all devices on the data axis
     n_model: int = 1
+    # fuse K optimizer steps into one jitted lax.scan program
+    # (engine.scan_steps) — amortizes per-step host dispatch on the
+    # device-resident input tiers (HBM bank / encode-once features);
+    # 1 = one program per step (the reference's only mode)
+    steps_per_call: int = 1
     optim: OptimConfig = field(default_factory=OptimConfig)
 
     @classmethod

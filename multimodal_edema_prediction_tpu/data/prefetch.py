@@ -33,7 +33,8 @@ class DevicePrefetcher:
     """
 
     def __init__(self, batches: Iterable[dict], mesh, depth: int = 2,
-                 host_fn: Optional[Callable[[dict], dict]] = None):
+                 host_fn: Optional[Callable[[dict], dict]] = None,
+                 stacked: bool = False):
         self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._err: Optional[BaseException] = None
 
@@ -42,7 +43,8 @@ class DevicePrefetcher:
                 for b in batches:
                     if host_fn is not None:
                         b = host_fn(b)
-                    self._q.put(meshlib.shard_batch(b, mesh))
+                    self._q.put(meshlib.shard_batch(b, mesh,
+                                                    stacked=stacked))
             except BaseException as e:   # surface in the consumer thread
                 self._err = e
             finally:
@@ -62,7 +64,25 @@ class DevicePrefetcher:
 
 
 def prefetch(batches: Iterable[dict], mesh, depth: int = 2,
-             host_fn: Optional[Callable[[dict], dict]] = None
-             ) -> Iterator[dict]:
+             host_fn: Optional[Callable[[dict], dict]] = None,
+             stacked: bool = False) -> Iterator[dict]:
     """Functional wrapper: ``for batch in prefetch(ds.iter_batches(...), mesh)``."""
-    return iter(DevicePrefetcher(batches, mesh, depth, host_fn))
+    return iter(DevicePrefetcher(batches, mesh, depth, host_fn, stacked))
+
+
+def stack_host_batches(batches: Iterable[dict], k: int) -> Iterator[dict]:
+    """Group a host batch stream into K-stacked megabatches for
+    ``engine.scan_steps`` (new leading axis K on every field).
+
+    The final group carries the remainder (< k) — a second, smaller scan
+    shape that XLA compiles once. Pick ``k`` dividing steps-per-epoch to
+    avoid that extra compile on remote backends."""
+    import numpy as np
+    buf = []
+    for b in batches:
+        buf.append(b)
+        if len(buf) == k:
+            yield {key: np.stack([bb[key] for bb in buf]) for key in buf[0]}
+            buf = []
+    if buf:
+        yield {key: np.stack([bb[key] for bb in buf]) for key in buf[0]}

@@ -37,8 +37,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, stacked: bool = False) -> dict:
     """Ship a host batch to the mesh, leading axis split over ``data``.
+
+    ``stacked=True``: the batch is K per-step batches stacked on a NEW
+    leading axis (the ``lax.scan`` input of ``engine.scan_steps``) — the
+    scan axis replicates, the batch axis (now axis 1) splits over ``data``.
 
     Multi-process: the batch is this host's LOCAL slice (see
     ``multihost.split_batch_for_process``); the global logical array is
@@ -47,15 +51,18 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     batch — evaluators read them from the host batch directly.
     """
     batch = {k: v for k, v in batch.items() if not k.startswith("_")}
-    sh = batch_sharding(mesh)
+    sh = NamedSharding(mesh, P(None, "data")) if stacked \
+        else batch_sharding(mesh)
     if jax.process_count() == 1:
         return jax.tree.map(
             lambda a: jax.device_put(np.asarray(a), sh), batch)
+    ax = 1 if stacked else 0
 
     def place(a):
         a = np.asarray(a)
-        gshape = (a.shape[0] * jax.process_count(),) + a.shape[1:]
-        return jax.make_array_from_process_local_data(sh, a, gshape)
+        gshape = list(a.shape)
+        gshape[ax] *= jax.process_count()
+        return jax.make_array_from_process_local_data(sh, a, tuple(gshape))
 
     return jax.tree.map(place, batch)
 

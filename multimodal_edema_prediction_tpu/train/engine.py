@@ -93,8 +93,7 @@ def make_supervised_ts_eval(model, n_timesteps: int, dtype=jnp.bfloat16):
 # DuETT SSL pretraining step (duett/duett.py:329-358)
 # =============================================================================
 def make_ssl_step(model, duett_cfg: DuettConfig, n_timesteps: int,
-                  dtype=jnp.bfloat16):
-    @partial(jax.jit, donate_argnums=(0,))
+                  dtype=jnp.bfloat16, jit: bool = True):
     def step(state: TrainState, grid, static, batch, rng):
         r_mask, r_drop = jax.random.split(rng)
         x_ts = gather_windows(grid, batch["stay_rows"], batch["slot_idx"],
@@ -128,7 +127,9 @@ def make_ssl_step(model, duett_cfg: DuettConfig, n_timesteps: int,
         new_state = state.apply_gradients(grads, mut["batch_stats"])
         return new_state, {k: v for k, v in parts.items()}
 
-    return step
+    if not jit:
+        return step
+    return jax.jit(step, donate_argnums=(0,))
 
 
 # =============================================================================
@@ -164,7 +165,8 @@ def make_teacher_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
                       image_source: Callable = default_image_source,
                       lp_mode: bool = False, lp_beta_l2: float = 0.0,
                       lp_corr_l2: float = 0.0,
-                      feature_source: Optional[Callable] = None):
+                      feature_source: Optional[Callable] = None,
+                      jit: bool = True):
     """One fused teacher step: window gather + image fetch + fwd/bwd + update.
 
     ``lp_mode`` reproduces the correction-only linear-probing step
@@ -174,11 +176,13 @@ def make_teacher_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
 
     ``feature_source`` (encode-once tier): batch → cached frozen-ViT
     (cls, patches); the step skips the ViT forward entirely.
+
+    ``jit=False`` returns the raw (untraced) step for composition into a
+    larger jitted program — see :func:`scan_steps`.
     """
     lw = jnp.asarray(label_weights, jnp.float32)
     pw = None if pos_weight is None else jnp.asarray(pos_weight, jnp.float32)
 
-    @partial(jax.jit, donate_argnums=(0,), **_jit_opts(model))
     def step(state: TrainState, grid, static, batch, rng):
         r_aug, r_drop = jax.random.split(rng)
         train_flag = not lp_mode
@@ -225,7 +229,57 @@ def make_teacher_step(model, cfg: TrainConfig, duett_cfg: DuettConfig,
         metrics["main_logit"] = out["main_logit"].astype(jnp.float32)
         return new_state, metrics
 
-    return step
+    if not jit:
+        return step
+    return jax.jit(step, donate_argnums=(0,), **_jit_opts(model))
+
+
+def scan_steps(raw_step, model=None):
+    """Fuse K sequential train steps into ONE jitted XLA program.
+
+    ``raw_step(state, grid, static, batch, rng) -> (state, metrics)`` is a
+    step factory's un-jitted body (``jit=False``); the wrapper ``lax.scan``s
+    it over a K-stacked batch pytree (leading axis K on every field — see
+    ``mesh.shard_batch(..., stacked=True)``) and a (K,)-stacked key array.
+
+    Why: at encode-once-tier step times (~tens of ms) the per-call host
+    work — batch device_put + dispatch, each a round trip on remote/tunneled
+    TPU backends — bounds throughput, not the device. One call per K steps
+    amortizes it. Sequential semantics are preserved exactly (scan carries
+    the state; the parity test asserts bit-identity with K single calls).
+    The reference has no analogue (per-batch ``optimizer.step()`` under DDP,
+    training_duett/trainer.py:406-470).
+
+    Returned metrics: per-step scalars are SUMMED over K (the loops
+    accumulate sums); the raw per-step values ride in ``out["per_step"]``
+    for --log_every; non-scalar metrics (e.g. ``main_logit``) stay stacked
+    with leading axis K.
+    """
+    opts = _jit_opts(model) if model is not None else {}
+
+    @partial(jax.jit, donate_argnums=(0,), **opts)
+    def multi(state: TrainState, grid, static, batches, rngs, *consts):
+        def body(st, xs):
+            b, r = xs
+            st, m = raw_step(st, *consts, grid, static, b, r)
+            return st, m
+        state, ms = jax.lax.scan(body, state, (batches, rngs))
+        out = {k: (v.sum(0) if v.ndim == 1 else v) for k, v in ms.items()}
+        out["per_step"] = {k: v for k, v in ms.items() if v.ndim == 1}
+        return state, out
+
+    return multi
+
+
+@partial(jax.jit, static_argnums=(1,))
+def split_chain(key, k: int):
+    """(new_key, (k,) stacked subkeys) by the loops' exact per-step chain
+    ``key, sub = jax.random.split(key)`` — one device call instead of k.
+    Accepts typed keys or raw uint32 key bits (multi-host form)."""
+    def body(c, _):
+        ks = jax.random.split(c)
+        return ks[0], ks[1]
+    return jax.lax.scan(body, key, None, length=k)
 
 
 def make_teacher_pathology_step(model, cfg: TrainConfig,
@@ -380,8 +434,8 @@ def make_kd_step(student_model, teacher_model, cfg: TrainConfig,
                  duett_cfg: DuettConfig, n_timesteps: int,
                  dtype=jnp.bfloat16,
                  image_source: Callable = default_image_source,
-                 feature_source: Optional[Callable] = None):
-    @partial(jax.jit, donate_argnums=(0,), **_jit_opts(teacher_model))
+                 feature_source: Optional[Callable] = None,
+                 jit: bool = True):
     def step(state: TrainState, teacher_params, teacher_stats, grid, static,
              batch, rng):
         r_aug, r_drop = jax.random.split(rng)
@@ -416,7 +470,9 @@ def make_kd_step(student_model, teacher_model, cfg: TrainConfig,
         out["logits"] = z_s.astype(jnp.float32)
         return new_state, out
 
-    return step
+    if not jit:
+        return step
+    return jax.jit(step, donate_argnums=(0,), **_jit_opts(teacher_model))
 
 
 def make_ssl_eval(model, duett_cfg: DuettConfig, n_timesteps: int,

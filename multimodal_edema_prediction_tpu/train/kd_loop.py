@@ -191,6 +191,14 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
                                       student_cfg.duett, T, dtype,
                                       image_source,
                                       feature_source=feature_source)
+        scan_k = max(1, int(cfg.steps_per_call))
+        # K fused steps per dispatch (engine.scan_steps); the frozen
+        # teacher params ride through as scan-invariant consts
+        kd_scan = engine.scan_steps(
+            engine.make_kd_step(student, teacher_model, cfg,
+                                student_cfg.duett, T, dtype, image_source,
+                                feature_source=feature_source, jit=False),
+            teacher_model) if scan_k > 1 else None
         eval_step = engine.make_supervised_ts_eval(student, T, dtype)
         grid = mh.replicate_to_mesh(dataset.grid, mesh)
         static = mh.replicate_to_mesh(dataset.static, mesh)
@@ -223,10 +231,31 @@ def train_student_kd(dataset: AnchorDataset, student_cfg: StudentConfig,
         for epoch in range(start_epoch, cfg.epochs):
             acc = None
             nb = 0
-            for batch in dataset.iter_batches(
-                    "train", cfg.batch_size, shuffle=True,
-                    seed=cfg.seed + epoch, limit=cfg.limit_batches):
-                batch.pop("valid")
+            def _host_batches():
+                for b in dataset.iter_batches(
+                        "train", cfg.batch_size, shuffle=True,
+                        seed=cfg.seed + epoch, limit=cfg.limit_batches):
+                    b.pop("valid")
+                    yield b
+
+            batch_iter = _host_batches()
+            if kd_scan is not None:
+                from ..data.prefetch import stack_host_batches
+                batch_iter = stack_host_batches(batch_iter, scan_k)
+            for batch in batch_iter:
+                if kd_scan is not None:
+                    dev_batch = meshlib.shard_batch(batch, mesh,
+                                                    stacked=True)
+                    kk = int(next(iter(dev_batch.values())).shape[0])
+                    step_rng, subs = engine.split_chain(step_rng, kk)
+                    state, out = kd_scan(state, grid, static, dev_batch,
+                                         mh.maybe_raw_key(subs),
+                                         t_params, t_stats)
+                    cur = {k: out[k] for k in keys}   # K-sums
+                    acc = cur if acc is None else _acc_add(acc, cur)
+                    nb += kk
+                    n_steps += kk
+                    continue
                 dev_batch = meshlib.shard_batch(batch, mesh)
                 step_rng, sub = jax.random.split(step_rng)
                 state, out = kd_step(state, t_params, t_stats, grid, static,

@@ -100,6 +100,12 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
 
     with mesh:
         train_step = engine.make_ssl_step(model, duett_cfg, T, dtype)
+        scan_k = max(1, int(cfg.steps_per_call))
+        # SSL steps are ~tiny (41.9k samples/s/chip measured): per-step host
+        # dispatch dominates; fuse K steps into one program (scan_steps)
+        scan_step = engine.scan_steps(
+            engine.make_ssl_step(model, duett_cfg, T, dtype, jit=False)) \
+            if scan_k > 1 else None
         eval_step = engine.make_ssl_eval(model, duett_cfg, T, dtype)
         grid = mh.replicate_to_mesh(dataset.grid, mesh)
         static = mh.replicate_to_mesh(dataset.static, mesh)
@@ -124,9 +130,26 @@ def train_ssl(dataset: SlidingSSLDataset, duett_cfg: DuettConfig,
         add = jax.jit(jnp.add)
         for epoch in range(start_epoch, cfg.epochs):
             loss_sum, nb = None, 0
-            for batch in dataset.iter_batches(
-                    "train", cfg.batch_size, shuffle=True,
-                    seed=cfg.seed + epoch, limit=cfg.limit_batches):
+            batch_iter = dataset.iter_batches(
+                "train", cfg.batch_size, shuffle=True,
+                seed=cfg.seed + epoch, limit=cfg.limit_batches)
+            if scan_step is not None:
+                from ..data.prefetch import stack_host_batches
+                batch_iter = stack_host_batches(batch_iter, scan_k)
+            for batch in batch_iter:
+                if scan_step is not None:
+                    dev_batch = meshlib.shard_batch(batch, mesh,
+                                                    stacked=True)
+                    kk = int(next(iter(dev_batch.values())).shape[0])
+                    step_rng, subs = engine.split_chain(step_rng, kk)
+                    state, out = scan_step(state, grid, static, dev_batch,
+                                           mh.maybe_raw_key(subs))
+                    # out["total"] is already the K-sum (scan_steps)
+                    loss_sum = out["total"] if loss_sum is None \
+                        else add(loss_sum, out["total"])
+                    nb += kk
+                    n_steps += kk
+                    continue
                 dev_batch = meshlib.shard_batch(batch, mesh)
                 step_rng, sub = jax.random.split(step_rng)
                 state, out = train_step(state, grid, static, dev_batch,

@@ -413,6 +413,12 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
 
     mode = teacher_cfg.perceiver_type
     uses_dual = mode in ("dual_patch", "dual_patch_event", "dual")
+    scan_k = max(1, int(cfg.steps_per_call))
+    if scan_k > 1 and not uses_dual:
+        log.info(f"steps_per_call={scan_k} is wired for the dual modes "
+                 "only; falling back to single-step dispatch")
+        scan_k = 1
+    scan_step = None
 
     with mesh:
         if uses_dual:
@@ -428,6 +434,15 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                 loss_keys += ("aux_residual",)
             if lp_mode:
                 loss_keys += ("reg_beta_l2", "reg_corr_l2")
+            if scan_k > 1:
+                # K steps per XLA program (engine.scan_steps): amortizes
+                # per-step dispatch; exact sequential semantics
+                raw = engine.make_teacher_step(
+                    model, cfg, teacher_cfg.duett, T, lw, None, dtype,
+                    image_source, lp_mode=lp_mode, lp_beta_l2=lp_beta_l2,
+                    lp_corr_l2=lp_corr_l2, feature_source=feature_source,
+                    jit=False)
+                scan_step = engine.scan_steps(raw, model)
         elif mode == "single":
             train_step = engine.make_teacher_pathology_step(
                 model, cfg, teacher_cfg.duett, T, lw, None, dtype,
@@ -524,13 +539,18 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
                     b.pop("valid")
                     yield b
 
+            host_iter = _host_batches()
+            if scan_step is not None:
+                from ..data.prefetch import stack_host_batches
+                host_iter = stack_host_batches(host_iter, scan_k)
             if prefetch_depth > 0:
                 from ..data.prefetch import prefetch
-                batches = prefetch(_host_batches(), mesh,
-                                   depth=prefetch_depth)
+                batches = prefetch(host_iter, mesh, depth=prefetch_depth,
+                                   stacked=scan_step is not None)
             else:
-                batches = (meshlib.shard_batch(b, mesh)
-                           for b in _host_batches())
+                batches = (meshlib.shard_batch(
+                    b, mesh, stacked=scan_step is not None)
+                    for b in host_iter)
             # per-step scalar logging only when a wandb sink is live —
             # the fetch is a host sync, so the default path stays sync-free
             # (the reference logs running losses every --log_every steps,
@@ -538,6 +558,29 @@ def train_teacher(dataset: AnchorDataset, teacher_cfg: TeacherConfig,
             step_log = cfg.log_every > 0 \
                 and getattr(log, "_wb", None) is not None
             for dev_batch in batches:
+                if scan_step is not None:
+                    kk = int(next(iter(dev_batch.values())).shape[0])
+                    step_rng, subs = engine.split_chain(step_rng, kk)
+                    if multi:   # raw key bits replicate globally
+                        subs = np.asarray(jax.random.key_data(subs))
+                    state, out = scan_step(state, grid, static, dev_batch,
+                                           subs)
+                    cur = {k: out[k] for k in loss_keys}   # K-sums
+                    acc = cur if acc is None else _acc_add(acc, cur)
+                    nb += kk
+                    n_steps += kk
+                    if step_log and (n_steps // cfg.log_every
+                                     > (n_steps - kk) // cfg.log_every):
+                        ps = {k: np.asarray(
+                            mh.fetch_global(out["per_step"][k]))
+                            for k in loss_keys}
+                        for i in range(kk):
+                            gs = n_steps - kk + i + 1
+                            if gs % cfg.log_every == 0:
+                                log.metrics(
+                                    {f"train_step/{k}": float(ps[k][i])
+                                     for k in loss_keys}, gs)
+                    continue
                 step_rng, sub = jax.random.split(step_rng)
                 if multi:   # raw key bits: numpy inputs replicate globally
                     sub = np.asarray(jax.random.key_data(sub))
