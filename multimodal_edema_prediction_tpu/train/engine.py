@@ -50,10 +50,10 @@ def _prep_inputs(grid, static, batch, n_timesteps, dtype, rng=None,
 # =============================================================================
 def make_supervised_ts_step(model, duett_cfg: DuettConfig,
                             n_timesteps: int, dtype=jnp.bfloat16,
-                            pos_weight: Optional[float] = None):
+                            pos_weight: Optional[float] = None,
+                            jit: bool = True):
     pw = None if pos_weight is None else jnp.float32(pos_weight)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, grid, static, batch, rng):
         r_aug, r_drop = jax.random.split(rng)
         x_in, x_static, times = _prep_inputs(
@@ -74,7 +74,9 @@ def make_supervised_ts_step(model, duett_cfg: DuettConfig,
         return new_state, {"loss": loss,
                            "logits": logits.astype(jnp.float32)}
 
-    return step
+    if not jit:
+        return step
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def make_supervised_ts_eval(model, n_timesteps: int, dtype=jnp.bfloat16):

@@ -129,6 +129,10 @@ def train_supervised_ts(dataset: AnchorDataset, model_cfg: StudentConfig,
     with mesh:
         train_step = engine.make_supervised_ts_step(
             model, model_cfg.duett, T, dtype)
+        scan_k = max(1, int(cfg.steps_per_call))
+        scan_step = engine.scan_steps(engine.make_supervised_ts_step(
+            model, model_cfg.duett, T, dtype, jit=False)) \
+            if scan_k > 1 else None
         eval_step = engine.make_supervised_ts_eval(model, T, dtype)
 
         grid = jax.device_put(dataset.grid, meshlib.replicated(mesh))
@@ -143,16 +147,36 @@ def train_supervised_ts(dataset: AnchorDataset, model_cfg: StudentConfig,
 
         for epoch in range(cfg.epochs):
             losses = []
-            for i, batch in enumerate(dataset.iter_batches(
-                    "train", cfg.batch_size, shuffle=True,
-                    seed=cfg.seed + epoch, limit=cfg.limit_batches)):
-                batch.pop("valid")
+
+            def _host_batches():
+                for b in dataset.iter_batches(
+                        "train", cfg.batch_size, shuffle=True,
+                        seed=cfg.seed + epoch, limit=cfg.limit_batches):
+                    b.pop("valid")
+                    yield b
+
+            batch_iter = _host_batches()
+            if scan_step is not None:
+                from ..data.prefetch import stack_host_batches
+                batch_iter = stack_host_batches(batch_iter, scan_k)
+            for batch in batch_iter:
+                if scan_step is not None:
+                    dev_batch = meshlib.shard_batch(batch, mesh,
+                                                    stacked=True)
+                    kk = int(next(iter(dev_batch.values())).shape[0])
+                    step_rng, subs = engine.split_chain(step_rng, kk)
+                    state, out = scan_step(state, grid, static, dev_batch,
+                                           subs)
+                    losses.append(out["per_step"]["loss"])   # (kk,)
+                    n_steps_timed += kk
+                    continue
                 dev_batch = meshlib.shard_batch(batch, mesh)
                 step_rng, sub = jax.random.split(step_rng)
                 state, out = train_step(state, grid, static, dev_batch, sub)
                 losses.append(out["loss"])
                 n_steps_timed += 1
-            train_loss = float(jnp.stack(losses).mean())
+            train_loss = float(jnp.concatenate(
+                [jnp.atleast_1d(x) for x in losses]).mean())
 
             val = evaluate_binary_split(eval_step, state.params,
                                         state.batch_stats, dataset, "val",

@@ -193,6 +193,33 @@ def test_ssl_loop_steps_per_call_matches_single(tmp_path):
                                    rtol=1e-5)
 
 
+def test_supervised_ts_loop_steps_per_call_matches_single(tmp_path):
+    """TS-only supervised loop (no ViT — cheap enough for the fast tier)."""
+    from multimodal_edema_prediction_tpu.config import StudentConfig
+    from multimodal_edema_prediction_tpu.train.loops import \
+        train_supervised_ts
+    ds = S.make_synthetic(seed=0, n_subjects=60, n_stays=150, n_variables=8,
+                          min_len=26, max_len=48, obs_rate=0.5)
+    dcfg = DataConfig()
+    meta = P.meta_from_events(ds, dcfg)
+
+    def run(spc, sub):
+        anchor_ds = P.build_anchor_dataset(ds, meta, dcfg)
+        cfg = TrainConfig(batch_size=16, epochs=2, patience=3,
+                          dtype="float32", limit_batches=5,
+                          steps_per_call=spc,
+                          optim=OptimConfig(lr=1e-3, warmup_steps=4))
+        return train_supervised_ts(anchor_ds, StudentConfig(duett=TINY.duett),
+                                   cfg, str(tmp_path / sub))
+
+    r1 = run(1, "ts_single")
+    r2 = run(2, "ts_scan")   # 5 batches -> 2,2,1 (remainder path)
+    for e1, e2 in zip(r1.history, r2.history):
+        np.testing.assert_allclose(e2["train_loss"], e1["train_loss"],
+                                   rtol=1e-4)
+    assert abs(r2.best_metric - r1.best_metric) < 1e-6
+
+
 @pytest.mark.slow
 def test_kd_loop_steps_per_call_matches_single(tmp_path):
     from multimodal_edema_prediction_tpu.config import StudentConfig
