@@ -23,6 +23,13 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# The tunneled backend does not serialize LARGE executables into the JAX
+# cache (ROADMAP r4-4), so the headline step recompiles every invocation.
+# Default the pickle-based AOT executable cache ON (compile_once): any
+# load/serialize failure silently degrades to a plain compile, and the
+# round-trip is numerics-tested (tests/test_bench_compile_once.py).
+# Set BENCH_AOT_CACHE=0 to disable.
+os.environ.setdefault("BENCH_AOT_CACHE", "1")
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
