@@ -153,7 +153,19 @@ def compile_once(step, *args):
 
 
 def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
-                        warmup: int = 3, image_bank_size: int = 32) -> dict:
+                        warmup: int = 3, image_bank_size: int = 32,
+                        scan_k: int = 0) -> dict:
+    """Fused teacher train step, samples/sec/chip.
+
+    ``scan_k=0`` (default): one program dispatch per optimizer step — the
+    classic loop, but through a remote/tunneled backend each dispatch pays
+    a host round trip, so the measurement is host-condition-sensitive
+    (BENCH_r02 drifted ±5%; a CPU-contended host once read 12.8 for a step
+    the chip runs at ~340). ``scan_k=K``: the production ``--steps_per_call``
+    mode — K steps fused into ONE ``lax.scan`` program (engine.scan_steps,
+    bit-identical semantics, tests/test_scan_step.py), one dispatch per K
+    steps, measuring the device instead of the tunnel. ``n_steps`` then
+    counts scan CALLS (K·n_steps optimizer steps)."""
     import jax
     import jax.numpy as jnp
     from multimodal_edema_prediction_tpu.config import (TeacherConfig,
@@ -215,6 +227,62 @@ def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
         }, mesh)
 
         key = jax.random.key(1)
+        if scan_k:
+            from multimodal_edema_prediction_tpu.data.prefetch import \
+                stack_host_batches
+
+            def host_batch(seed):
+                r = np.random.default_rng(seed)
+                return {
+                    "stay_rows": r.integers(0, n_stays,
+                                            batch_size).astype(np.int32),
+                    "slot_idx": np.full(batch_size, T, np.int32),
+                    "image_ids": r.integers(0, image_bank_size,
+                                            batch_size).astype(np.int32),
+                    "y": r.integers(0, 2, batch_size).astype(np.float32),
+                    "y_multi": r.integers(
+                        0, 2, (batch_size, K)).astype(np.float32),
+                    "y_multi_mask": np.ones((batch_size, K), np.float32),
+                    "bin_ends": np.broadcast_to(
+                        (np.arange(1, T + 1) / 24.0).astype(np.float32),
+                        (batch_size, T)).copy(),
+                }
+
+            def stacked(seed0):
+                bs_host = [host_batch(seed0 + i) for i in range(scan_k)]
+                sb = next(iter(stack_host_batches(iter(bs_host), scan_k)))
+                return meshlib.shard_batch(sb, mesh, stacked=True)
+
+            raw = engine.make_teacher_step(
+                model, tcfg, cfg.duett, T, np.ones(K, np.float32),
+                dtype=jnp.bfloat16,
+                image_source=make_bank_image_source(bank), jit=False)
+            multi = engine.scan_steps(raw, model)
+            sbatch = stacked(10_000)
+            key, subs = engine.split_chain(key, scan_k)
+            run, flops_per_call = compile_once(multi, state, grid, static,
+                                               sbatch, subs)
+            state, out = run(state, grid, static, sbatch, subs)   # warm
+            _sync(out["total"])
+            t0 = time.time()
+            for c in range(n_steps):      # n_steps scan CALLS
+                db = stacked(20_000 + c * scan_k)
+                key, subs = engine.split_chain(key, scan_k)
+                state, out = run(state, grid, static, db, subs)
+            _sync(out["total"])
+            dt = time.time() - t0
+            n_chips_ = len(jax.devices())
+            sps = batch_size * scan_k * n_steps / dt
+            achieved = flops_per_call * n_steps / dt / n_chips_
+            return {"samples_per_sec": sps,
+                    "samples_per_sec_per_chip": sps / n_chips_,
+                    "n_chips": n_chips_, "batch_size": batch_size,
+                    "steps_per_call": scan_k,
+                    "platform": jax.devices()[0].platform,
+                    "flops_per_sample": flops_per_call / scan_k / batch_size,
+                    "achieved_flops_per_sec_per_chip": achieved,
+                    "mfu": achieved / _device_peak_flops(),
+                    "feed": "fresh host megabatch per call"}
         # compile ONCE (reused for the timing loop) + XLA's own FLOP count
         # for the whole fused step → honest MFU
         run, flops_per_step = compile_once(step, state, grid, static, batch,
@@ -829,6 +897,21 @@ def main():
     best["samples_per_sec"] = best["samples_per_sec_per_chip"] * \
         best["n_chips"]
     best["mfu"] = best["mfu"] * best["samples_per_sec_per_chip"] / repeats[0]
+    best["dispatch"] = "per_step"
+    # scan dispatch (--steps_per_call 8): one program per 8 optimizer
+    # steps — the production dispatch mode, and immune to per-dispatch
+    # host/tunnel overhead (measures the chip, not the relay). Headline =
+    # the better of the two dispatch modes of the SAME step.
+    # pinned at b128 (the measured best batch) so the compiled scan
+    # program is deterministic across invocations and the AOT cache hits
+    scan_px = run_section(measure_jax_teacher, 1500,
+                          batch_size=128, n_steps=3, scan_k=8)
+    if scan_px.get("samples_per_sec_per_chip", 0.0) > \
+            best["samples_per_sec_per_chip"]:
+        for f in ("samples_per_sec_per_chip", "samples_per_sec", "mfu",
+                  "flops_per_sample", "batch_size"):
+            best[f] = scan_px[f]
+        best["dispatch"] = "scan_k8"
     e2e_hbm = run_section(measure_e2e_image_pipeline, 600, "hbm")
     e2e_u8 = run_section(measure_e2e_image_pipeline, 500, "u8cache")
     e2e_mm = run_section(measure_e2e_image_pipeline, 500, "u8memmap")
@@ -867,6 +950,8 @@ def main():
                 round(result128["samples_per_sec_per_chip"], 3)
                 if "samples_per_sec_per_chip" in result128 else result128,
             "headline_repeats": [round(r, 2) for r in repeats],
+            "dispatch": best["dispatch"],
+            "pixel_scan_dispatch": scan_px,
             "mfu": round(best["mfu"], 4),
             "flops_per_sample": fps,
             "e2e_hbm_bank": e2e_hbm,
