@@ -11,7 +11,9 @@ throughput numbers — BASELINE.md). The torch number is measured once and
 cached in ``BENCH_BASELINE.json``.
 """
 import json
+import math
 import os
+import signal
 import time
 
 import numpy as np
@@ -262,7 +264,12 @@ def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
             key, subs = engine.split_chain(key, scan_k)
             run, flops_per_call = compile_once(multi, state, grid, static,
                                                sbatch, subs)
-            state, out = run(state, grid, static, sbatch, subs)   # warm
+            # warm calls honor ``warmup`` (each is K fused steps, so callers
+            # typically pass warmup=1 here — ADVICE r3)
+            for w in range(max(1, warmup)):
+                key, subs = engine.split_chain(key, scan_k)
+                state, out = run(state, grid, static,
+                                 stacked(5_000 + w * scan_k), subs)
             _sync(out["total"])
             t0 = time.time()
             for c in range(n_steps):      # n_steps scan CALLS
@@ -273,16 +280,18 @@ def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
             dt = time.time() - t0
             n_chips_ = len(jax.devices())
             sps = batch_size * scan_k * n_steps / dt
-            achieved = flops_per_call * n_steps / dt / n_chips_
-            return {"samples_per_sec": sps,
-                    "samples_per_sec_per_chip": sps / n_chips_,
-                    "n_chips": n_chips_, "batch_size": batch_size,
-                    "steps_per_call": scan_k,
-                    "platform": jax.devices()[0].platform,
-                    "flops_per_sample": flops_per_call / scan_k / batch_size,
-                    "achieved_flops_per_sec_per_chip": achieved,
-                    "mfu": achieved / _device_peak_flops(),
-                    "feed": "fresh host megabatch per call"}
+            res = {"samples_per_sec": sps,
+                   "samples_per_sec_per_chip": sps / n_chips_,
+                   "n_chips": n_chips_, "batch_size": batch_size,
+                   "steps_per_call": scan_k,
+                   "platform": jax.devices()[0].platform,
+                   "feed": "fresh host megabatch per call"}
+            if math.isfinite(flops_per_call):   # ADVICE r3: no NaN in JSON
+                achieved = flops_per_call * n_steps / dt / n_chips_
+                res["flops_per_sample"] = flops_per_call / scan_k / batch_size
+                res["achieved_flops_per_sec_per_chip"] = achieved
+                res["mfu"] = achieved / _device_peak_flops()
+            return res
         # compile ONCE (reused for the timing loop) + XLA's own FLOP count
         # for the whole fused step → honest MFU
         run, flops_per_step = compile_once(step, state, grid, static, batch,
@@ -557,9 +566,17 @@ def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
     # per-step dispatch cost)
     scan_k, n_calls = 8, 3
     try:
-        scan_sps, scan_info = _cached_scan_rate(
-            mesh, model, cfg, bank, grid, static, state, tx, best_bs, T, K,
-            n_stays, image_bank_size, key, scan_k, n_calls)
+        # median of 2 repeats (ADVICE r3: a single scan run is noisier than
+        # the median-of-repeats per-step numbers it competes against)
+        reps, scan_info = [], {}
+        for _ in range(2):
+            r_sps, scan_info = _cached_scan_rate(
+                mesh, model, cfg, bank, grid, static, state, tx, best_bs, T,
+                K, n_stays, image_bank_size, key, scan_k, n_calls)
+            reps.append(r_sps)
+        scan_sps = float(np.median(reps))
+        scan_info["samples_per_sec_per_chip"] = round(scan_sps, 1)
+        scan_info["repeats"] = [round(r, 1) for r in reps]
     except Exception as e:   # keep the sweep numbers if the scan part trips
         scan_sps, scan_info = 0.0, {"error": str(e)}
 
@@ -856,122 +873,208 @@ def measure_jpeg_decode_imgs_per_sec(n_images: int = 8,
         return float("nan")
 
 
+def _sanitize(obj):
+    """Replace non-finite floats with None so every emitted line is strict
+    JSON (bare NaN from a failed cost_analysis broke downstream parsers —
+    ADVICE r3)."""
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    return obj
+
+
+# Progressive best-so-far state (VERDICT r3 item 1): the headline JSON line
+# is (re-)emitted after every completed section AND from the SIGTERM/SIGALRM
+# handlers, so a driver kill at ANY point still captures a parsed headline —
+# BENCH_r03 was rc=124 with zero output because the single final print never
+# ran. Consumers take the LAST JSON line on stdout.
+_SECTIONS: dict = {}
+_BEST: dict = {}
+
+
+def _assemble():
+    if not _BEST:
+        return None
+    ref = _SECTIONS.get("baseline_samples_per_sec")
+    sps = _BEST["samples_per_sec_per_chip"]
+    fps = _BEST.get("flops_per_sample")
+    # vs_baseline is anchored to the honest hardware context (VERDICT r3
+    # item 9): the same XLA-counted step FLOPs sustained on an A100 at an
+    # assumed 30% MFU. The old torch-CPU-reimpl multiplier (~1800x) stays
+    # as a footnote field inside extra.
+    fps = fps if (isinstance(fps, float) and math.isfinite(fps)
+                  and fps > 0) else None
+    est_a100 = (312e12 * 0.30 / fps) if fps else None
+    extra = {
+        "mfu": round(_BEST["mfu"], 4) if _BEST.get("mfu") else None,
+        "est_a100_samples_per_sec_at_30pct_mfu":
+            round(est_a100, 1) if est_a100 else None,
+        "vs_baseline_definition":
+            "headline / est_a100_samples_per_sec_at_30pct_mfu (same "
+            "XLA-counted FLOPs on A100 312 TF/s bf16 at an assumed 30% "
+            "MFU; no GPU here to measure)",
+        "platform": _BEST.get("platform"),
+        "n_chips": _BEST.get("n_chips"),
+        "batch_size": _BEST.get("batch_size"),
+        "dispatch": _BEST.get("dispatch"),
+        "total_samples_per_sec":
+            round(sps * _BEST.get("n_chips", 1), 3),
+        "flops_per_sample": fps,
+    }
+    extra.update(_SECTIONS)
+    vs = (sps / est_a100) if est_a100 else (sps / ref if ref else None)
+    return _sanitize({
+        "metric": "teacher_fused_fwd_bwd_samples_per_sec_per_chip",
+        "value": round(sps, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs, 3) if vs else None,
+        "extra": extra,
+    })
+
+
+def _emit():
+    d = _assemble()
+    if d is not None:
+        print(json.dumps(d), flush=True)
+
+
+def _signal_emit(signum, frame):
+    _SECTIONS["terminated_by_signal"] = int(signum)
+    _emit()
+    os._exit(0)
+
+
 def main():
-    # Global deadline (BENCH_DEADLINE_S, default 90 min): remote-compile
-    # latency through the tunnel varies 100× between runs; bench must ALWAYS
-    # print its JSON line, so optional sections are skipped (not aborted)
-    # once the budget is spent. The headline section always runs.
+    # Global deadline (BENCH_DEADLINE_S): the driver killed the r3 run at
+    # its own (unknown, assume <=45 min) window, so the internal budget
+    # defaults WELL under that; optional sections are skipped (not aborted)
+    # once spent, the long tail runs only under BENCH_FULL=1, and SIGTERM/
+    # SIGALRM flush the best-so-far line (VERDICT r3 item 1).
     t_main = time.time()
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "5400"))
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2100"))
+    full = os.environ.get("BENCH_FULL") == "1"
+    signal.signal(signal.SIGTERM, _signal_emit)
+    signal.signal(signal.SIGINT, _signal_emit)
+    try:                                  # hard backstop: a hung remote
+        signal.signal(signal.SIGALRM, _signal_emit)   # compile can't block
+        signal.alarm(int(deadline) + 240)             # the final emit
+    except Exception:
+        pass
 
     def left():
         return deadline - (time.time() - t_main)
 
-    def run_section(fn, min_left_s, *a, **kw):
+    def run_section(name, fn, min_left_s, *a, only_full=False, **kw):
+        if only_full and not full:
+            _SECTIONS[name] = {"skipped": "BENCH_FULL!=1"}
+            return _SECTIONS[name]
         if left() < min_left_s:
-            return {"skipped": f"deadline ({int(left())}s left, "
-                               f"needs ~{min_left_s}s)"}
+            _SECTIONS[name] = {"skipped": f"deadline ({int(left())}s left, "
+                                          f"needs ~{min_left_s}s)"}
+            return _SECTIONS[name]
         try:
-            return fn(*a, **kw)
+            _SECTIONS[name] = fn(*a, **kw)
         except Exception as e:   # keep the headline even if a section trips
-            return {"error": str(e)}
+            _SECTIONS[name] = {"error": str(e)}
+        return _SECTIONS[name]
 
-    # batch sweep (the reference trains at 128, run.py:83; v5e peaks at
-    # 64/96), then repeat the winner and take the MEDIAN — single tunnel
-    # timings drift ±5% (BENCH_r02 recorded e2e above the bare step)
+    # torch-CPU footnote baseline first: cached file read (or a ~min-scale
+    # measurement on first ever run)
+    try:
+        ref = get_torch_baseline()["torch_cpu_teacher_samples_per_sec"]
+        _SECTIONS["baseline"] = "torch-CPU faithful reimpl " \
+                                "(BENCH_BASELINE.json), footnote context"
+        _SECTIONS["baseline_samples_per_sec"] = round(ref, 3)
+        _SECTIONS["vs_torch_cpu_reimpl"] = None   # filled once _BEST exists
+    except Exception as e:
+        ref = None
+        _SECTIONS["baseline"] = {"error": str(e)}
+
+    # ---- headline: fused pixel-tier teacher step -------------------------
+    # b64 per-step first (cheapest full-size compile; r2/r3 best per-step
+    # batch), EMIT immediately, then the scan-k8 b128 production dispatch.
     result = measure_jax_teacher(batch_size=64)
-    result96 = run_section(measure_jax_teacher, 1200, batch_size=96,
-                           n_steps=8)
-    result128 = run_section(measure_jax_teacher, 1200, batch_size=128,
-                            n_steps=6)
-    sweep = tuple(r for r in (result, result96, result128)
-                  if "samples_per_sec_per_chip" in r)
-    best = max(sweep, key=lambda r: r["samples_per_sec_per_chip"])
-    repeats = [best["samples_per_sec_per_chip"]]
-    while len(repeats) < 3 and left() > 900:
-        repeats.append(measure_jax_teacher(
-            batch_size=best["batch_size"],
-            n_steps=10)["samples_per_sec_per_chip"])
-    best = dict(best)
-    best["samples_per_sec_per_chip"] = float(np.median(repeats))
-    best["samples_per_sec"] = best["samples_per_sec_per_chip"] * \
-        best["n_chips"]
-    best["mfu"] = best["mfu"] * best["samples_per_sec_per_chip"] / repeats[0]
-    best["dispatch"] = "per_step"
+    _BEST.update(result)
+    _BEST["dispatch"] = "per_step"
+    _SECTIONS["samples_per_sec_per_chip_b64"] = \
+        round(result["samples_per_sec_per_chip"], 3)
+    if ref:
+        _SECTIONS["vs_torch_cpu_reimpl"] = \
+            round(_BEST["samples_per_sec_per_chip"] / ref, 1)
+    _emit()                      # first parsed-able line, ~1 compile in
+
     # scan dispatch (--steps_per_call 8): one program per 8 optimizer
-    # steps — the production dispatch mode, and immune to per-dispatch
-    # host/tunnel overhead (measures the chip, not the relay). Headline =
-    # the better of the two dispatch modes of the SAME step.
-    # pinned at b128 (the measured best batch) so the compiled scan
-    # program is deterministic across invocations and the AOT cache hits
-    scan_px = run_section(measure_jax_teacher, 1500,
-                          batch_size=128, n_steps=3, scan_k=8)
-    if scan_px.get("samples_per_sec_per_chip", 0.0) > \
-            best["samples_per_sec_per_chip"]:
-        for f in ("samples_per_sec_per_chip", "samples_per_sec", "mfu",
-                  "flops_per_sample", "batch_size"):
-            best[f] = scan_px[f]
-        best["dispatch"] = "scan_k8"
-    e2e_hbm = run_section(measure_e2e_image_pipeline, 600, "hbm")
-    e2e_u8 = run_section(measure_e2e_image_pipeline, 500, "u8cache")
-    e2e_mm = run_section(measure_e2e_image_pipeline, 500, "u8memmap")
-    e2e_jpeg = run_section(measure_e2e_image_pipeline, 500, "jpeg", n_steps=6)
-    infer = run_section(measure_teacher_inference, 600)
-    serving = run_section(measure_serving, 700)
-    cached = run_section(measure_jax_teacher_cached, 900,
-                         batch_sweep=(128, 256, 512))
-    ssl_sps = run_section(measure_ssl_throughput, 300)
-    if not isinstance(ssl_sps, float):
-        ssl_sps = float("nan")
-    rows_per_sec = measure_preprocess_rows_per_sec()
-    baseline = get_torch_baseline()
-    ref = baseline["torch_cpu_teacher_samples_per_sec"]
-    # honest GPU context (no GPU in this environment): what the SAME step's
-    # XLA-counted FLOPs would sustain on an A100 at typical torch MFU
-    fps = best.get("flops_per_sample", float("nan"))
-    est_a100 = 312e12 * 0.30 / fps if fps == fps and fps > 0 \
-        else float("nan")
-    print(json.dumps({
-        "metric": "teacher_fused_fwd_bwd_samples_per_sec_per_chip",
-        "value": round(best["samples_per_sec_per_chip"], 3),
-        "unit": "samples/sec/chip",
-        "vs_baseline": round(best["samples_per_sec_per_chip"] / ref, 2),
-        "extra": {
-            "platform": best["platform"],
-            "n_chips": best["n_chips"],
-            "batch_size": best["batch_size"],
-            "total_samples_per_sec": round(best["samples_per_sec"], 3),
-            "samples_per_sec_per_chip_b64":
-                round(result["samples_per_sec_per_chip"], 3),
-            "samples_per_sec_per_chip_b96":
-                round(result96["samples_per_sec_per_chip"], 3)
-                if "samples_per_sec_per_chip" in result96 else result96,
-            "samples_per_sec_per_chip_b128":
-                round(result128["samples_per_sec_per_chip"], 3)
-                if "samples_per_sec_per_chip" in result128 else result128,
-            "headline_repeats": [round(r, 2) for r in repeats],
-            "dispatch": best["dispatch"],
-            "pixel_scan_dispatch": scan_px,
-            "mfu": round(best["mfu"], 4),
-            "flops_per_sample": fps,
-            "e2e_hbm_bank": e2e_hbm,
-            "e2e_u8cache": e2e_u8,
-            "e2e_u8memmap": e2e_mm,
-            "e2e_jpeg_decode_per_step": e2e_jpeg,
-            "teacher_inference": infer,
-            "serving": serving,
-            "teacher_cached_features": cached,
-            "ssl_pretrain_samples_per_sec": round(ssl_sps, 1),
-            "preprocess_rows_per_sec": round(rows_per_sec, 1),
-            "jpeg_decode_imgs_per_sec_per_core":
-                round(measure_jpeg_decode_imgs_per_sec(), 2),
-            "baseline": "torch-CPU faithful reimpl (BENCH_BASELINE.json)",
-            "baseline_samples_per_sec": round(ref, 3),
-            "est_a100_samples_per_sec_at_30pct_mfu": round(est_a100, 1),
-            "est_a100_note": "same XLA-counted FLOPs on A100 312 TF/s bf16 "
-                             "at an assumed 30% MFU (no GPU here to measure)",
-        },
-    }))
+    # steps — the production dispatch mode, immune to per-dispatch
+    # host/tunnel overhead. Headline = better of the two dispatch modes of
+    # the SAME step, scan measured as median of 2 repeats (ADVICE r3).
+    scan_reps = []
+    scan_px = run_section("pixel_scan_dispatch", measure_jax_teacher, 420,
+                          batch_size=128, n_steps=3, warmup=1, scan_k=8)
+    if "samples_per_sec_per_chip" in scan_px:
+        scan_reps.append(scan_px["samples_per_sec_per_chip"])
+        if left() > 300:
+            r2 = measure_jax_teacher(batch_size=128, n_steps=3, warmup=1,
+                                     scan_k=8)
+            scan_reps.append(r2["samples_per_sec_per_chip"])
+            if r2["samples_per_sec_per_chip"] < \
+                    scan_px["samples_per_sec_per_chip"]:
+                scan_px = r2
+        scan_med = float(np.median(scan_reps))
+        scan_px = dict(scan_px)
+        scan_px["samples_per_sec_per_chip"] = scan_med
+        scan_px["repeats"] = [round(r, 1) for r in scan_reps]
+        _SECTIONS["pixel_scan_dispatch"] = scan_px
+        if scan_med > _BEST["samples_per_sec_per_chip"]:
+            for f in ("samples_per_sec_per_chip", "batch_size"):
+                _BEST[f] = scan_px[f]
+            # only adopt scan-side mfu/flops when finite (ADVICE r3)
+            for f in ("mfu", "flops_per_sample"):
+                if scan_px.get(f) is not None and f in scan_px:
+                    _BEST[f] = scan_px[f]
+            _BEST["dispatch"] = "scan_k8"
+            _SECTIONS["headline_repeats"] = scan_px["repeats"]
+            _SECTIONS["headline_repeats_mode"] = "scan_k8"
+            if ref:
+                _SECTIONS["vs_torch_cpu_reimpl"] = \
+                    round(_BEST["samples_per_sec_per_chip"] / ref, 1)
+    _emit()
+
+    # ---- cached (encode-once) tier: the sustained epochs>=1 rate ---------
+    run_section("teacher_cached_features", measure_jax_teacher_cached, 420,
+                batch_size=512,
+                batch_sweep=(64, 128, 256) if full else ())
+    _emit()
+
+    # ---- cheap always-on context ----------------------------------------
+    run_section("teacher_inference", measure_teacher_inference, 240)
+    run_section("ssl_pretrain_samples_per_sec", measure_ssl_throughput, 120)
+    run_section("preprocess_rows_per_sec", measure_preprocess_rows_per_sec,
+                60)
+    run_section("jpeg_decode_imgs_per_sec_per_core",
+                measure_jpeg_decode_imgs_per_sec, 30)
+    run_section("e2e_hbm_bank", measure_e2e_image_pipeline, 300, "hbm")
+    _emit()
+
+    # ---- long tail: BENCH_FULL=1 only (VERDICT r3 item 1c) ---------------
+    run_section("samples_per_sec_per_chip_b96", lambda: round(
+        measure_jax_teacher(batch_size=96, n_steps=8)
+        ["samples_per_sec_per_chip"], 3), 900, only_full=True)
+    run_section("samples_per_sec_per_chip_b128", lambda: round(
+        measure_jax_teacher(batch_size=128, n_steps=6)
+        ["samples_per_sec_per_chip"], 3), 900, only_full=True)
+    run_section("e2e_u8cache", measure_e2e_image_pipeline, 500, "u8cache",
+                only_full=True)
+    run_section("e2e_u8memmap", measure_e2e_image_pipeline, 500, "u8memmap",
+                only_full=True)
+    run_section("e2e_jpeg_decode_per_step", measure_e2e_image_pipeline, 500,
+                "jpeg", n_steps=6, only_full=True)
+    run_section("serving", measure_serving, 700, only_full=True)
+    _SECTIONS["wall_time_s"] = round(time.time() - t_main, 1)
+    signal.alarm(0) if hasattr(signal, "alarm") else None
+    _emit()
 
 
 if __name__ == "__main__":
