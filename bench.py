@@ -280,18 +280,17 @@ def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
             dt = time.time() - t0
             n_chips_ = len(jax.devices())
             sps = batch_size * scan_k * n_steps / dt
-            res = {"samples_per_sec": sps,
-                   "samples_per_sec_per_chip": sps / n_chips_,
-                   "n_chips": n_chips_, "batch_size": batch_size,
-                   "steps_per_call": scan_k,
-                   "platform": jax.devices()[0].platform,
-                   "feed": "fresh host megabatch per call"}
-            if math.isfinite(flops_per_call):   # ADVICE r3: no NaN in JSON
-                achieved = flops_per_call * n_steps / dt / n_chips_
-                res["flops_per_sample"] = flops_per_call / scan_k / batch_size
-                res["achieved_flops_per_sec_per_chip"] = achieved
-                res["mfu"] = achieved / _device_peak_flops()
-            return res
+            # NO flops/mfu here: XLA cost_analysis counts the lax.scan BODY
+            # once (measured: a K=8 scan program reported exactly 1 step's
+            # flops), so any per-call accounting from it is K-x wrong. The
+            # caller recomputes mfu from the per-step mode's flops_per_sample
+            # (same step semantics — tests/test_scan_step.py).
+            return {"samples_per_sec": sps,
+                    "samples_per_sec_per_chip": sps / n_chips_,
+                    "n_chips": n_chips_, "batch_size": batch_size,
+                    "steps_per_call": scan_k,
+                    "platform": jax.devices()[0].platform,
+                    "feed": "fresh host megabatch per call"}
         # compile ONCE (reused for the timing loop) + XLA's own FLOP count
         # for the whole fused step → honest MFU
         run, flops_per_step = compile_once(step, state, grid, static, batch,
@@ -474,7 +473,8 @@ def measure_e2e_image_pipeline(mode: str, batch_size: int = 64,
 def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
                                warmup: int = 3,
                                image_bank_size: int = 32,
-                               batch_sweep: tuple = ()) -> dict:
+                               batch_sweep: tuple = (),
+                               on_partial=None) -> dict:
     """Encode-once tier (data/features.py): the frozen ViT's tokens are
     cached per image, so the train step is DuETT + perceiver + bwd only.
     This is the sustained rate of teacher epochs ≥ 1 under
@@ -558,6 +558,13 @@ def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
             _sync(out["total"])
             per_bs[bs] = bs * n_steps / (time.time() - t0) / n_chips
     best_bs = max(per_bs, key=per_bs.get)
+    if on_partial is not None:   # flush sweep numbers before the scan part
+        on_partial({"samples_per_sec_per_chip": per_bs[best_bs],   # compiles
+                    "batch_size": best_bs,
+                    "per_batch_size": {str(k): round(v, 1)
+                                       for k, v in per_bs.items()},
+                    "scan_dispatch": "pending",
+                    "bank_build_s_for_32_images": round(build_s, 2)})
 
     # multi-step scan dispatch (--steps_per_call): K steps per XLA program
     # with fresh K-stacked HOST megabatches per call — the production loop's
@@ -947,6 +954,16 @@ def _signal_emit(signum, frame):
     os._exit(0)
 
 
+def _watchdog_exit():
+    """Hard-deadline backstop that works even when the MAIN thread is
+    blocked inside a C call (a hung remote compile defers Python signal
+    handlers indefinitely — observed through the tunnel): a daemon thread
+    emits the best-so-far line and hard-exits the process."""
+    _SECTIONS["terminated_by"] = "watchdog_thread"
+    _emit()
+    os._exit(0)
+
+
 def main():
     # Global deadline (BENCH_DEADLINE_S): the driver killed the r3 run at
     # its own (unknown, assume <=45 min) window, so the internal budget
@@ -958,11 +975,15 @@ def main():
     full = os.environ.get("BENCH_FULL") == "1"
     signal.signal(signal.SIGTERM, _signal_emit)
     signal.signal(signal.SIGINT, _signal_emit)
-    try:                                  # hard backstop: a hung remote
-        signal.signal(signal.SIGALRM, _signal_emit)   # compile can't block
-        signal.alarm(int(deadline) + 240)             # the final emit
+    try:                                  # soft backstop (main thread idle)
+        signal.signal(signal.SIGALRM, _signal_emit)
+        signal.alarm(int(deadline) + 240)
     except Exception:
         pass
+    import threading                      # hard backstop (main thread may be
+    wd = threading.Timer(deadline + 300, _watchdog_exit)   # stuck in a C
+    wd.daemon = True                      # call, deferring all signals)
+    wd.start()
 
     def left():
         return deadline - (time.time() - t_main)
@@ -1030,10 +1051,13 @@ def main():
         if scan_med > _BEST["samples_per_sec_per_chip"]:
             for f in ("samples_per_sec_per_chip", "batch_size"):
                 _BEST[f] = scan_px[f]
-            # only adopt scan-side mfu/flops when finite (ADVICE r3)
-            for f in ("mfu", "flops_per_sample"):
-                if scan_px.get(f) is not None and f in scan_px:
-                    _BEST[f] = scan_px[f]
+            # flops/sample is per-sample-invariant across dispatch modes;
+            # keep the per-step cost-analysis value and recompute mfu at
+            # the scan rate (scan cost_analysis is K-x wrong — see
+            # measure_jax_teacher)
+            fps_step = _BEST.get("flops_per_sample")
+            if fps_step and math.isfinite(fps_step):
+                _BEST["mfu"] = fps_step * scan_med / _device_peak_flops()
             _BEST["dispatch"] = "scan_k8"
             _SECTIONS["headline_repeats"] = scan_px["repeats"]
             _SECTIONS["headline_repeats_mode"] = "scan_k8"
@@ -1043,9 +1067,13 @@ def main():
     _emit()
 
     # ---- cached (encode-once) tier: the sustained epochs>=1 rate ---------
+    def _cached_partial(d):
+        _SECTIONS["teacher_cached_features"] = d
+        _emit()
     run_section("teacher_cached_features", measure_jax_teacher_cached, 420,
                 batch_size=512,
-                batch_sweep=(64, 128, 256) if full else ())
+                batch_sweep=(64, 128, 256) if full else (),
+                on_partial=_cached_partial)
     _emit()
 
     # ---- cheap always-on context ----------------------------------------
@@ -1073,7 +1101,9 @@ def main():
                 "jpeg", n_steps=6, only_full=True)
     run_section("serving", measure_serving, 700, only_full=True)
     _SECTIONS["wall_time_s"] = round(time.time() - t_main, 1)
-    signal.alarm(0) if hasattr(signal, "alarm") else None
+    if hasattr(signal, "alarm"):
+        signal.alarm(0)
+    wd.cancel()
     _emit()
 
 

@@ -161,6 +161,16 @@ def main():
                                               train=False)["fusion_logits"]),
             list(zip(mk((B, T + 1, tt_dim)), mk((B, 1370, d_lat)))))
 
+        # multi-group AdamW update alone (zero grads for frozen groups is
+        # exactly what the step feeds them — set_to_zero in optim.py)
+        g_np = jax.tree.map(lambda p: np.asarray(p) * 0 + 1e-4,
+                            jax.tree.map(np.asarray, variables["params"]))
+        g_dev = [jax.device_put(jax.tree.map(lambda a, s=s: a * (1 + s),
+                                             g_np), rep)
+                 for s in range(2)]   # value-distinct (tunnel timing note)
+        opt_fn = jax.jit(lambda st, g: st.apply_gradients(g, st.batch_stats))
+        ms_opt = timeit(opt_fn, [(state, g) for g in g_dev])
+
         # full train step LAST (donates/deletes the state buffers)
         step = engine.make_teacher_step(model, tcfg, cfg.duett, T,
                                         np.ones(K, np.float32), None, dt, src,
@@ -180,6 +190,8 @@ def main():
           f"({B / ms_full * 1000:.0f} samples/s)")
     print(f"  eval (no bwd)   : {ms_eval:7.2f}   bwd+opt ≈ "
           f"{ms_full - ms_eval:.2f}")
+    print(f"  AdamW update    : {ms_opt:7.2f}   (bwd alone ≈ "
+          f"{ms_full - ms_eval - ms_opt:.2f})")
     print(f"  {'feat gather' if cached else 'ViT fwd'} alone   : "
           f"{ms_vit:7.2f}")
     print(f"  DuETT fwd alone : {ms_duett:7.2f}")

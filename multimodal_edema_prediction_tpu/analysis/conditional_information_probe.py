@@ -45,6 +45,10 @@ def collect_with_tokens(model, params, batch_stats, anchor_ds, split,
     a = anchor_ds.anchor
     idx_all = anchor_ds.splits[split]
     out = {"img": [], "ts": [], "tok": [], "y": [], "sid": []}
+    if len(idx_all) == 0:
+        raise ValueError(f"split {split!r} is empty")
+    if len(idx_all) < batch_size:   # tiny cohort: one short batch
+        batch_size = len(idx_all)
     n = len(idx_all) - (len(idx_all) % batch_size)
     for i in range(0, n, batch_size):
         idx = idx_all[i:i + batch_size]
@@ -55,6 +59,8 @@ def collect_with_tokens(model, params, batch_stats, anchor_ds, split,
                  "bin_ends": np.broadcast_to(
                      anchor_ds.bin_ends,
                      (len(idx), anchor_ds.n_timesteps))}
+        if anchor_ds.batch_hook is not None:   # real-JPEG pixel hook
+            batch = anchor_ds.batch_hook(batch)
         o = eval_step(params, batch_stats, x_ts, x_static, batch)
         keep = a["y_multi_mask"][idx][:, label_idx] > 0
         out["img"].append(np.asarray(o["img_logits"])[keep, label_idx])

@@ -51,6 +51,10 @@ def collect_predictions(model, params, batch_stats, anchor_ds, split: str,
     img, ys, masks, attns, subj = [], [], [], [], []
     same_subject = total = 0
 
+    if len(idx_all) == 0:
+        raise ValueError(f"split {split!r} is empty")
+    if len(idx_all) < batch_size:   # tiny cohort: one short batch
+        batch_size = len(idx_all)
     n = len(idx_all) - (len(idx_all) % batch_size)
     for bi, i in enumerate(range(0, n, batch_size)):
         if max_batches and bi >= max_batches:
@@ -65,6 +69,8 @@ def collect_predictions(model, params, batch_stats, anchor_ds, split: str,
             "bin_ends": np.broadcast_to(anchor_ds.bin_ends,
                                         (len(idx), anchor_ds.n_timesteps)),
         }
+        if anchor_ds.batch_hook is not None:   # real-JPEG pixel hook
+            batch = anchor_ds.batch_hook(batch)
         rng = np.random.default_rng(seed + 10007 * bi)
         perm = different_subject_permutation(sid, rng)
         same_subject += int(np.sum(sid[perm] == sid))

@@ -309,9 +309,10 @@ def main(argv=None):
         below then slices — no per-label re-inference)."""
         idx_all = anchor_ds.splits[split]
         xw, img, y, mask, sid = [], [], [], [], []
-        n = len(idx_all) - len(idx_all) % args.batch_size
-        for i in range(0, n, args.batch_size):
-            idx = idx_all[i:i + args.batch_size]
+        bs = min(args.batch_size, max(len(idx_all), 1))  # tiny cohorts
+        n = len(idx_all) - len(idx_all) % bs
+        for i in range(0, n, bs):
+            idx = idx_all[i:i + bs]
             x_ts, x_static = gather_host_windows(anchor_ds, idx)
             batch = {"image_ids": a["image_ids"][idx].astype(np.int32),
                      "y_multi": a["y_multi"][idx],

@@ -117,9 +117,10 @@ def train_probe(anchor_ds, labels, n_vars: int, d_model: int = 128,
     for epoch in range(epochs):
         order = np.random.default_rng(seed + epoch).permutation(
             anchor_ds.splits["train"])
-        n = len(order) - len(order) % batch_size
-        for i in range(0, n, batch_size):
-            idx = order[i:i + batch_size]
+        bs = min(batch_size, max(len(order), 1))
+        n = len(order) - len(order) % bs
+        for i in range(0, n, bs):
+            idx = order[i:i + bs]
             x, _ = gather_host_windows(anchor_ds, idx)
             rng, sub = jax.random.split(rng)
             params, opt_state, l = step(

@@ -35,6 +35,8 @@ def _collect(model, params, batch_stats, anchor_ds, split, batch_size,
     idx_all = anchor_ds.splits[split]
     acc = {k: [] for k in ("img_attn", "ts_attn", "fus_tok", "img", "ts",
                            "fus", "y", "mask", "image_ids")}
+    if 0 < len(idx_all) < batch_size:   # tiny cohort: one short batch
+        batch_size = len(idx_all)
     n = min(len(idx_all) - len(idx_all) % batch_size,
             max_batches * batch_size)
     if n == 0:
@@ -52,6 +54,8 @@ def _collect(model, params, batch_stats, anchor_ds, split, batch_size,
                  "bin_ends": np.broadcast_to(
                      anchor_ds.bin_ends,
                      (len(idx), anchor_ds.n_timesteps))}
+        if anchor_ds.batch_hook is not None:   # real-JPEG pixel hook
+            batch = anchor_ds.batch_hook(batch)
         o = eval_step(params, batch_stats, x_ts, x_static, batch)
         acc["img_attn"].append(np.asarray(o["img_attn"]))
         # event variant outputs per-variable ``event_attn`` instead of the

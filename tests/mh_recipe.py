@@ -141,6 +141,50 @@ def run_recipe(kind: str = "teacher", workdir: str = None) -> dict:
             os.path.join(workdir, "teacher_orbax", "orbax_state"))
         return out
 
+    if kind in ("teacher_preempt", "teacher_preempt_resume"):
+        # VERDICT r3 item 7: a REAL SIGTERM delivered to exactly ONE of the
+        # two processes mid-run must stop BOTH at the same epoch boundary
+        # with matching resumable state — that is ``mh.any_flag``
+        # (parallel/multihost.py:132) turning the local signal flag into a
+        # global agreement. A divergence (only the signaled host stopping)
+        # deadlocks the survivor in the next epoch's collectives, which the
+        # parent's subprocess timeout converts into a failure.
+        import dataclasses
+        import signal
+        import threading
+
+        import jax
+
+        from multimodal_edema_prediction_tpu.utils import preemption
+        tcfg, cfg = _tiny_teacher_cfgs()
+        # patience high enough that ONLY the signal can end the run early
+        cfg = dataclasses.replace(cfg, epochs=4, patience=10)
+        _, _, anchor_ds = _cohort()
+        resume = kind.endswith("_resume")
+        preemption.clear()
+        preemption.install_handler()
+        timer = None
+        if not resume and jax.process_count() > 1 \
+                and jax.process_index() == 1:
+            delay = float(os.environ.get("MH_PREEMPT_AFTER_S", "20"))
+            timer = threading.Timer(
+                delay, lambda: os.kill(os.getpid(), signal.SIGTERM))
+            timer.start()
+        try:
+            res = train_teacher(anchor_ds, tcfg, cfg,
+                                os.path.join(workdir, "teacher_pre"),
+                                labels, prefetch_depth=2,
+                                auto_resume=resume)
+        finally:
+            if timer is not None:
+                timer.cancel()
+            preemption.clear()
+        out = _result(res)
+        out["n_epochs_run"] = len(res.history)
+        out["state_saved"] = os.path.exists(os.path.join(
+            workdir, "teacher_pre", "train_state.meta.json"))
+        return out
+
     if kind == "ssl":
         from multimodal_edema_prediction_tpu.config import TrainConfig
         from multimodal_edema_prediction_tpu.data.sliding import \

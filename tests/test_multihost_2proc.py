@@ -140,6 +140,36 @@ def test_two_process_cached_features_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_preemption_on_one_host_stops_both(tmp_path):
+    """VERDICT r3 item 7: a real SIGTERM delivered to exactly ONE of the
+    two processes mid-run (a timer inside worker 1 kills itself; worker 0
+    is never signaled) must stop BOTH at the same epoch boundary via
+    ``mh.any_flag`` (parallel/multihost.py:132), with resumable state on
+    the shared dir — and a 2-process auto_resume restart must then finish
+    the remaining epochs with a bit-identical history prefix. If the flag
+    did NOT reach the unsignaled host, worker 0 would enter the next
+    epoch's collectives alone and hang until the parent's communicate()
+    timeout fails the test."""
+    r0, r1 = _run_two_proc(tmp_path, "teacher_preempt")
+    # both exited together at the same (early) epoch boundary
+    assert r0["n_epochs_run"] == r1["n_epochs_run"]
+    assert 1 <= r0["n_epochs_run"] < 4, \
+        "SIGTERM landed too late — whole run finished; raise epochs or " \
+        "lower MH_PREEMPT_AFTER_S"
+    for h0, h1 in zip(r0["history"], r1["history"]):
+        assert h0["train_total"] == pytest.approx(h1["train_total"],
+                                                  rel=1e-9)
+    assert r0["state_saved"] and r1["state_saved"]
+
+    # 2-process restart resumes from the shared state to completion
+    s0, s1 = _run_two_proc(tmp_path, "teacher_preempt_resume")
+    assert s0["n_epochs_run"] == s1["n_epochs_run"] == 4
+    for hp, hr in zip(r0["history"], s0["history"]):
+        assert hp["train_total"] == pytest.approx(hr["train_total"],
+                                                  rel=1e-9)
+
+
+@pytest.mark.slow
 def test_two_process_ssl_matches_single_process(tmp_path):
     r0, r1 = _run_two_proc(tmp_path, "ssl")
     single = _run_single(tmp_path, "ssl")
