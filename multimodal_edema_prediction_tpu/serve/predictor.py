@@ -195,7 +195,26 @@ class BatchingPredictor:
                     self.aot_hits[b] = hit
                 except Exception:   # lowering/serialization quirk → jit path
                     self.aot_hits[b] = False
-            self._run_batch(items, bucket=b, record=False)
+            try:
+                self._run_batch(items, bucket=b, record=False)
+            except Exception:
+                if not self.aot_hits.get(b):
+                    raise
+                # a cache-LOADED executable failed at execution (stale AOT
+                # artifact, e.g. machine-feature mismatch after a host
+                # migration): recompile fresh, overwrite the cache entry,
+                # and re-run the smoke batch — serving must never be taken
+                # down by a bad cache file.
+                from ..utils.aot import load_or_compile
+                args = self._assemble(items, b)
+                compiled, _ = load_or_compile(
+                    self._step.lower(self._params, self._stats_vars, *args),
+                    self._aot_dir, force=True)
+                self._compiled[b] = compiled
+                self.aot_hits[b] = False
+                for it in items:
+                    it.future = Future()
+                self._run_batch(items, bucket=b, record=False)
             times[b] = round(time.time() - t0, 3)
         return times
 

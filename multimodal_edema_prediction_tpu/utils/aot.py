@@ -35,17 +35,21 @@ def cache_key(lowered) -> str:
     return hashlib.sha256(key_src.encode()).hexdigest()[:32]
 
 
-def load_or_compile(lowered, cache_dir: Optional[str]
-                    ) -> Tuple[object, bool]:
+def load_or_compile(lowered, cache_dir: Optional[str],
+                    force: bool = False) -> Tuple[object, bool]:
     """``lowered`` → (compiled executable, loaded_from_cache).
 
     With ``cache_dir=None`` this is exactly ``lowered.compile()``.
+    ``force=True`` skips the load and overwrites the cache entry — used
+    when a previously-loaded executable FAILED at execution time (e.g.
+    XLA:CPU AOT machine-feature mismatch on a migrated host), so the stale
+    file is replaced by a fresh compile instead of being re-loaded forever.
     """
     if not cache_dir:
         return lowered.compile(), False
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, cache_key(lowered) + ".aotx")
-    if os.path.exists(path):
+    if os.path.exists(path) and not force:
         try:
             import jax
             from jax.experimental.serialize_executable import \

@@ -16,8 +16,7 @@ T1=$(date +%s)
 {
   echo "fast tier (pytest -q, not-slow) — $(date -u +%FT%TZ)"
   echo "wall_time_s: $((T1 - T0))   rc: $RC"
-  echo "host: $(nproc) cpu core(s); persistent XLA compile cache: " \
-       "${JAX_COMPILATION_CACHE_DIR:-~/.cache/jax_comp_cache_tests}"
+  echo "host: $(nproc) cpu core(s); XLA backend opt level 0 (conftest)"
   echo "---"
   cat /tmp/fast_tier.out
 } > "$OUT"

@@ -5,18 +5,22 @@ Must set XLA flags before jax initializes any backend.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even if env preset to tpu/axon
-# Persistent compilation cache for the test tier (VERDICT r3 item 4): the
-# fast tier's wall time on a 1-core host is dominated by XLA CPU compiles of
-# the same tiny programs on every run; the cache keys on HLO, so code changes
-# invalidate exactly the affected programs. Cold run pays once; every rerun
-# (CI, judge, driver) is warm.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/jax_comp_cache_tests"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# NOTE on the persistent XLA compile cache: measured r4 — it does NOT help
+# this suite (cold 17:48 vs warm-with-cache 21:08; only 56 programs exceed
+# the 1 s threshold). The tier's cost is Python-side tracing + many tiny
+# compiles, so speed comes from tier placement and small configs instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Tests are compile-bound on this 1-core host (the suite compiles hundreds
+# of tiny programs once each); skipping XLA's backend optimization pipeline
+# measured ~25% off suite wall time with all tests green. Production code
+# paths never see this flag. Opt out with TEST_XLA_OPT=1 (e.g. when
+# debugging a numerics difference that only appears at -O0).
+if "xla_backend_optimization_level" not in flags \
+        and os.environ.get("TEST_XLA_OPT") != "1":
+    flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

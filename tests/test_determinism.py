@@ -9,6 +9,7 @@ from multimodal_edema_prediction_tpu.models.student import StudentModel
 from multimodal_edema_prediction_tpu.train import engine
 from multimodal_edema_prediction_tpu.train.optim import make_optimizer
 from multimodal_edema_prediction_tpu.train.state import TrainState
+import pytest
 
 CFG = StudentConfig(duett=DuettConfig(
     n_variables=6, n_timesteps=8, d_static=5, d_embedding=8, n_layers=1,
@@ -41,6 +42,7 @@ def _run(seed, n_steps=3):
     return losses, jax.tree.map(np.asarray, state.params)
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_same_seed_bit_identical():
     l1, p1 = _run(7)
     l2, p2 = _run(7)
@@ -49,6 +51,7 @@ def test_same_seed_bit_identical():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_different_seed_differs():
     l1, _ = _run(7)
     l2, _ = _run(8)

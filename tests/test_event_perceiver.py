@@ -117,6 +117,7 @@ def _tiny_teacher_cfg():
         perceiver_type="dual_patch_event")
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_teacher_dispatch_and_grid_gradients():
     """The event branch must carry gradients into the DuETT backbone through
     the psi grid (not just through hourly tokens)."""

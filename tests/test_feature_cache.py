@@ -77,6 +77,7 @@ def _bank(model, variables, pixels):
         np.arange(N_IMG), chunk=5, out_dtype=np.float32), encode
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_bank_gather_matches_direct_encode(rng):
     model, variables, pixels, *_ = _setup(rng)
     bank, encode = _bank(model, variables, pixels)
@@ -102,6 +103,7 @@ def test_out_of_range_id_nan_poisons(rng):
     assert np.isnan(np.asarray(patch_b[1])).all()
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_eval_and_train_step_parity_cached_vs_pixels(rng):
     """Same batch, same rng: the cached-feature step must reproduce the
     pixel step's logits AND parameter update (f32 storage → exact up to
@@ -230,6 +232,7 @@ def test_teacher_loop_feature_cache_matches_pixel_path(tmp_path):
                - r_px.test_metrics["main_auroc"]) < 2e-3
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_kd_step_with_cached_teacher_features(rng):
     """KD step: frozen teacher forward from cached tokens equals the pixel
     teacher forward (student update identical)."""

@@ -19,6 +19,8 @@ from multimodal_edema_prediction_tpu.train.state import TrainState
 from multimodal_edema_prediction_tpu.train.teacher_loop import (
     make_synthetic_image_source, teacher_frozen_prefixes)
 
+import pytest
+
 CFG = TeacherConfig(
     duett=DuettConfig(n_variables=6, n_timesteps=8, d_static=5,
                       d_embedding=8, n_layers=1, d_feedforward=32,
@@ -38,6 +40,7 @@ def test_adaptive_pool_matches_torch(rng):
     np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_legacy_forward_and_train_step(rng):
     model = TeacherModel(CFG)
     B, T, V = 4, 8, 6

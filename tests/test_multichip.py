@@ -51,6 +51,7 @@ def test_batch_shards_across_data_axis():
     np.testing.assert_array_equal(np.asarray(dev["x"]), batch["x"])
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_full_size_teacher_step_aot_lowers_on_8dev_mesh():
     """AOT-lower (no execute) the FULL-SIZE teacher training step — 34-var
     DuETT + ViT-B/14 @ 518 — on the 8-device data×model mesh, closing the
@@ -129,6 +130,7 @@ def test_full_size_teacher_step_aot_lowers_on_8dev_mesh():
     assert batch["y_multi"].sharding.spec == jax.sharding.PartitionSpec("data")
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_cached_feature_step_runs_on_8dev_mesh():
     """The encode-once tier under DP×TP: token bank replicated across the
     mesh, batch data-sharded — one executed train step with finite loss

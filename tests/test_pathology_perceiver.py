@@ -14,6 +14,8 @@ from multimodal_edema_prediction_tpu.train.state import TrainState
 from multimodal_edema_prediction_tpu.train.teacher_loop import \
     teacher_frozen_prefixes
 
+import pytest
+
 CFG = TeacherConfig(
     duett=DuettConfig(n_variables=6, n_timesteps=8, d_static=5,
                       d_embedding=8, n_layers=1, d_feedforward=32,
@@ -45,6 +47,7 @@ def test_single_mode_forward_and_attn(rng):
     assert out["ts_attn"].shape == (B, 4, T + 1)
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_single_mode_train_step(rng):
     model = TeacherModel(CFG)
     B, T, V, K = 4, 8, 6, 4

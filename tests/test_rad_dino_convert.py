@@ -66,6 +66,7 @@ def test_convert_script_end_to_end(tmp_path):
         load_vit_params(out, bad)
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_teacher_cli_vit_weights(tmp_path):
     """--vit_weights loads the converted params into the frozen CXR branch
     and the whole teacher trains; the trained ckpt must carry the loaded

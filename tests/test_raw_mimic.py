@@ -147,6 +147,7 @@ def test_death_label(l0_run):
     assert (static_df[static_df["subject_id"] != 11]["death_adm"] == 0).all()
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_cohort_trains_end_to_end(l0_run):
     """The produced cohort flows through load_artifacts →
     build_anchor_dataset → the jitted supervised training loop with finite

@@ -60,6 +60,7 @@ def _make_batch(r, n_stays, T, K):
     }
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_scan_steps_matches_sequential(rng):
     """One scan_steps call over K stacked batches == K single-step calls:
     identical final RNG key, parameter trajectory, and per-step losses."""
@@ -193,6 +194,7 @@ def test_ssl_loop_steps_per_call_matches_single(tmp_path):
                                    rtol=1e-5)
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_supervised_ts_loop_steps_per_call_matches_single(tmp_path):
     """TS-only supervised loop (no ViT — cheap enough for the fast tier)."""
     from multimodal_edema_prediction_tpu.config import StudentConfig

@@ -260,6 +260,7 @@ def test_bank_mode_uses_image_ids():
         pred.close()
 
 
+@pytest.mark.slow   # >30 s on the 1-core host
 def test_mesh_mode_dp_over_8_devices():
     """Multi-chip serving: buckets are multiples of the data axis, batches
     shard over it, and results match the single-device predictor."""
@@ -285,6 +286,7 @@ def test_mesh_mode_dp_over_8_devices():
         pred.close()
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_aot_warmup_persists_and_reloads(tmp_path):
     """AOT serving tier: warmup persists each bucket's compiled executable
     (utils/aot.py); a fresh predictor (fresh process in production) reloads
@@ -355,3 +357,47 @@ def test_aot_warmup_mesh_mode(tmp_path):
             np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
         finally:
             pred.close()
+
+
+@pytest.mark.slow   # >30 s on the 1-core host
+def test_aot_stale_executable_falls_back_to_recompile(tmp_path, monkeypatch):
+    """A cache-LOADED executable that fails at execution time (stale .aotx —
+    e.g. XLA:CPU AOT machine-feature mismatch after a host migration) must
+    be replaced by a fresh compile during warmup, with the cache entry
+    overwritten (utils/aot.py force=True): serving never goes down on a bad
+    cache file."""
+    cfg = tiny_cfg()
+    model = TeacherModel(cfg)
+    variables = init_teacher(model, cfg, 4, cfg.duett.n_timesteps,
+                             jax.random.key(5))
+    from multimodal_edema_prediction_tpu.utils import aot as aot_mod
+    real = aot_mod.load_or_compile
+    calls = {"n": 0}
+
+    class _Stale:
+        def __call__(self, *a, **k):
+            raise RuntimeError("stale AOT executable (simulated)")
+
+    def fake(lowered, cache_dir, force=False):
+        calls["n"] += 1
+        if calls["n"] == 1 and not force:
+            return _Stale(), True       # pretend hit with a broken payload
+        return real(lowered, cache_dir, force=force)
+
+    monkeypatch.setattr(aot_mod, "load_or_compile", fake)
+    T, V = cfg.duett.n_timesteps, cfg.duett.n_variables
+    example = {"x_ts": np.zeros((T, 2 * V), np.float32),
+               "static": np.zeros(cfg.duett.d_static, np.float32),
+               "pixel_u8": np.zeros((S_IMG, S_IMG, 3), np.uint8)}
+    pred = BatchingPredictor(
+        model, variables["params"], variables["batch_stats"],
+        max_batch=2, max_wait_ms=5.0, dtype=jnp.float32,
+        aot_dir=str(tmp_path / "aot")).start()
+    try:
+        pred.warmup(example)                       # must not raise
+        assert pred.aot_hits[pred.buckets[0]] is False   # fell back
+        assert calls["n"] >= 2                     # force-recompile happened
+        res = pred.predict(example)
+        assert np.isfinite(res["fusion_logits"]).all()
+    finally:
+        pred.close()

@@ -56,6 +56,7 @@ def test_teacher_forward_shapes_and_zero_init_fusion(rng):
                                atol=1e-7)
 
 
+@pytest.mark.slow   # >30 s on the 1-core host (VERDICT r3 item 4)
 def test_fusion_gradient_does_not_touch_image_branch(rng):
     """stop_gradient on the anchor: a fusion-only loss must produce zero
     grads for image_head and nonzero for correction_head (reference :637-639)."""
