@@ -168,13 +168,34 @@ def main():
         g_dev = [jax.device_put(jax.tree.map(lambda a, s=s: a * (1 + s),
                                              g_np), rep)
                  for s in range(2)]   # value-distinct (tunnel timing note)
-        opt_fn = jax.jit(lambda st, g: st.apply_gradients(g, st.batch_stats))
-        ms_opt = timeit(opt_fn, [(state, g) for g in g_dev])
+        # donate + chain like the real step does — a non-donated update
+        # measures 400 MB of state copies, not the optimizer (first r4 run
+        # read 39.9 ms for what is really ~1 ms)
+        opt_fn = jax.jit(lambda st, g: st.apply_gradients(g, st.batch_stats),
+                         donate_argnums=(0,))
+        opt_st = TrainState.create(
+            jax.device_put(jax.tree.map(np.asarray, variables["params"]),
+                           rep),
+            jax.device_put(jax.tree.map(np.asarray,
+                                        variables["batch_stats"]), rep), tx)
+
+        def opt_call(g):
+            nonlocal opt_st
+            opt_st = opt_fn(opt_st, g)
+            return opt_st.step
+        ms_opt = timeit(opt_call, [(g,) for g in g_dev])
 
         # full train step LAST (donates/deletes the state buffers)
         step = engine.make_teacher_step(model, tcfg, cfg.duett, T,
                                         np.ones(K, np.float32), None, dt, src,
                                         feature_source=feat_src)
+        step_flops = float("nan")
+        try:    # XLA's own FLOP count for the whole fused step → honest MFU
+            cost = step.lower(state, grid, static, batches[0],
+                              jax.random.key(9)).compile().cost_analysis()
+            step_flops = float(cost["flops"])
+        except Exception:
+            pass
 
         def full(batch, key):
             nonlocal state
@@ -183,15 +204,42 @@ def main():
         ms_full = timeit(full, [(b, jax.random.key(i))
                                 for i, b in enumerate(batches)])
 
+        # in-situ optimizer isolation: the SAME fused step with a trivial
+        # SGD tx — the difference vs ms_full is the multi-group AdamW's
+        # marginal in-step cost without any standalone-dispatch inflation
+        # (the donated/chained standalone probe above still over-reads
+        # through the tunnel; negative residuals flag it)
+        import optax
+        # p0/b0 are the pre-donation device copies (the originals inside
+        # `state`/`variables` were consumed by the donating ms_full loop)
+        sgd_state = TrainState.create(jax.tree.map(jnp.array, p0),
+                                      jax.tree.map(jnp.array, b0),
+                                      optax.sgd(1e-4))
+
+        def full_sgd(batch, key):
+            nonlocal sgd_state
+            sgd_state, out = step(sgd_state, grid, static, batch, key)
+            return out["total"]
+        ms_full_sgd = timeit(full_sgd, [(b, jax.random.key(i + 7))
+                                        for i, b in enumerate(batches)])
+
     tier = "cached (encode-once)" if cached else "fused (in-step ViT)"
     print(f"batch {B}  tier={tier}  (ms/step; tunnel RTT inflates each by "
           f"the same constant ≈ a few ms at 10 iters)")
     print(f"  full train step : {ms_full:7.2f}   "
           f"({B / ms_full * 1000:.0f} samples/s)")
+    if step_flops == step_flops:
+        peak = 197e12   # v5e dense bf16
+        print(f"  XLA step flops  : {step_flops / 1e9:7.1f} G  "
+              f"({step_flops / B / 1e9:.2f} G/sample; "
+              f"MFU at this rate ≈ {step_flops / (ms_full / 1e3) / peak:.3f})")
     print(f"  eval (no bwd)   : {ms_eval:7.2f}   bwd+opt ≈ "
           f"{ms_full - ms_eval:.2f}")
-    print(f"  AdamW update    : {ms_opt:7.2f}   (bwd alone ≈ "
-          f"{ms_full - ms_eval - ms_opt:.2f})")
+    print(f"  AdamW update    : {ms_opt:7.2f}   standalone (dispatch-"
+          f"inflated through the tunnel)")
+    print(f"  step w/ SGD tx  : {ms_full_sgd:7.2f}   in-situ AdamW extra ≈ "
+          f"{ms_full - ms_full_sgd:.2f}; bwd ≈ "
+          f"{ms_full_sgd - ms_eval:.2f} (incl. trivial update)")
     print(f"  {'feat gather' if cached else 'ViT fwd'} alone   : "
           f"{ms_vit:7.2f}")
     print(f"  DuETT fwd alone : {ms_duett:7.2f}")
