@@ -271,13 +271,17 @@ def measure_jax_teacher(batch_size: int = 64, n_steps: int = 10,
                 state, out = run(state, grid, static,
                                  stacked(5_000 + w * scan_k), subs)
             _sync(out["total"])
-            t0 = time.time()
+            # per-call times, MEDIAN: one transient tunnel stall (observed
+            # 40+ s on a 300 ms call) must not poison the aggregate
+            call_s = []
             for c in range(n_steps):      # n_steps scan CALLS
                 db = stacked(20_000 + c * scan_k)
                 key, subs = engine.split_chain(key, scan_k)
+                t0 = time.time()
                 state, out = run(state, grid, static, db, subs)
-            _sync(out["total"])
-            dt = time.time() - t0
+                _sync(out["total"])
+                call_s.append(time.time() - t0)
+            dt = float(np.median(call_s)) * n_steps
             n_chips_ = len(jax.devices())
             sps = batch_size * scan_k * n_steps / dt
             # NO flops/mfu here: XLA cost_analysis counts the lax.scan BODY
@@ -644,12 +648,14 @@ def _cached_scan_rate(mesh, model, cfg, bank, grid, static, state, tx,
                                tx)
         st, key, out = scan_call(st, key, 10_000)   # compile + warm
         _sync(out["total"])
-        t0 = time.time()
+        call_s = []   # per-call median: robust to transient tunnel stalls
         for c in range(n_calls):
+            t0 = time.time()
             st, key, out = scan_call(st, key, 20_000 + c * scan_k)
-        _sync(out["total"])
+            _sync(out["total"])
+            call_s.append(time.time() - t0)
         n_chips = len(jax.devices())
-        scan_sps = best_bs * scan_k * n_calls / (time.time() - t0) / n_chips
+        scan_sps = best_bs * scan_k / float(np.median(call_s)) / n_chips
 
     return scan_sps, {"steps_per_call": scan_k,
                       "samples_per_sec_per_chip": round(scan_sps, 1),
