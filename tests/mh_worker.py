@@ -23,6 +23,12 @@ def main():
     recipe = sys.argv[5] if len(sys.argv) > 5 else "teacher"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=4")
+    # -O0 like conftest: faster compiles shrink the skew between the two
+    # contending workers on a 1-core host — gloo's context init times out
+    # at 30 s when one worker reaches the first collective long before the
+    # other (observed under full-suite load)
+    if os.environ.get("TEST_XLA_OPT") != "1":
+        os.environ["XLA_FLAGS"] += " --xla_backend_optimization_level=0"
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
