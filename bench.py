@@ -570,15 +570,15 @@ def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
                     "scan_dispatch": "pending",
                     "bank_build_s_for_32_images": round(build_s, 2)})
 
-    # multi-step scan dispatch (--steps_per_call): K steps per XLA program
-    # with fresh K-stacked HOST megabatches per call — the production loop's
-    # feed pattern (measured 1.85x over per-step dispatch at b512/K=8; the
-    # per_bs sweep above reuses a device-resident batch, so it underestimates
-    # per-step dispatch cost)
+    # ---- scan vs per-step ON THE DRIVER RECORD (VERDICT r4 item 2) ------
+    # Both dispatch modes of the SAME step, back-to-back in the SAME
+    # session, with the SAME production feed (fresh host batches built and
+    # sharded per call), per-call MEDIAN timing (one 40+s tunnel stall must
+    # not poison an aggregate), >=2 repeats each. The per_bs sweep above
+    # reuses one device-resident batch, so it measures the device step
+    # without dispatch/feed cost — reported separately as context.
     scan_k, n_calls = 8, 3
     try:
-        # median of 2 repeats (ADVICE r3: a single scan run is noisier than
-        # the median-of-repeats per-step numbers it competes against)
         reps, scan_info = [], {}
         for _ in range(2):
             r_sps, scan_info = _cached_scan_rate(
@@ -590,16 +590,92 @@ def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
         scan_info["repeats"] = [round(r, 1) for r in reps]
     except Exception as e:   # keep the sweep numbers if the scan part trips
         scan_sps, scan_info = 0.0, {"error": str(e)}
+    try:
+        ps_reps, ps_info = [], {}
+        for _ in range(2):
+            p_sps, ps_info = _cached_per_step_fresh_rate(
+                mesh, model, cfg, bank, grid, static, state, tx, best_bs, T,
+                K, n_stays, image_bank_size, key, n_steps=scan_k * n_calls)
+            ps_reps.append(p_sps)
+        ps_sps = float(np.median(ps_reps))
+        ps_info["samples_per_sec_per_chip"] = round(ps_sps, 1)
+        ps_info["repeats"] = [round(r, 1) for r in ps_reps]
+    except Exception as e:
+        ps_sps, ps_info = 0.0, {"error": str(e)}
+    winner = "scan_k%d" % scan_k if scan_sps >= ps_sps else "per_step"
 
-    return {"samples_per_sec_per_chip": max(per_bs[best_bs], scan_sps),
+    return {"samples_per_sec_per_chip": max(per_bs[best_bs], scan_sps,
+                                            ps_sps),
             "batch_size": best_bs,
             "per_batch_size": {str(k): round(v, 1)
                                for k, v in per_bs.items()},
             "scan_dispatch": scan_info,
+            "per_step_fresh_feed": ps_info,
+            "winner": winner,
+            "scan_vs_per_step_x": (round(scan_sps / ps_sps, 3)
+                                   if ps_sps else None),
             "bank_build_s_for_32_images": round(build_s, 2),
             "note": "teacher train step with the frozen ViT's tokens "
                     "cached (encode-once tier); epochs>=1 sustained rate; "
-                    "scan_dispatch = K fused steps/call (--steps_per_call)"}
+                    "scan_dispatch = K fused steps/call (--steps_per_call); "
+                    "per_step_fresh_feed = same feed pattern, one dispatch "
+                    "per step; per_batch_size = device-resident batch "
+                    "(no feed/dispatch cost)"}
+
+
+def _cached_per_step_fresh_rate(mesh, model, cfg, bank, grid, static, state,
+                                tx, best_bs, T, K, n_stays, image_bank_size,
+                                key, n_steps):
+    """Per-step dispatch with the PRODUCTION feed: a fresh host batch is
+    built and sharded before every step (mirrors `_cached_scan_rate`'s
+    megabatch feed so the two dispatch modes are directly comparable).
+    Per-call median timing."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_edema_prediction_tpu.config import TrainConfig
+    from multimodal_edema_prediction_tpu.parallel import mesh as meshlib
+    from multimodal_edema_prediction_tpu.train import engine
+    from multimodal_edema_prediction_tpu.train.state import TrainState
+    with mesh:
+        step = engine.make_teacher_step(
+            model, TrainConfig(batch_size=best_bs), cfg.duett, T,
+            np.ones(K, np.float32), dtype=jnp.bfloat16,
+            feature_source=bank.feature_source())
+
+        def host_batch(seed):
+            r = np.random.default_rng(seed)
+            return {
+                "stay_rows": r.integers(0, n_stays, best_bs).astype(np.int32),
+                "slot_idx": np.full(best_bs, T, np.int32),
+                "image_ids": r.integers(0, image_bank_size,
+                                        best_bs).astype(np.int32),
+                "y": r.integers(0, 2, best_bs).astype(np.float32),
+                "y_multi": r.integers(0, 2, (best_bs, K)).astype(np.float32),
+                "y_multi_mask": np.ones((best_bs, K), np.float32),
+                "bin_ends": np.broadcast_to(
+                    (np.arange(1, T + 1) / 24.0).astype(np.float32),
+                    (best_bs, T)).copy(),
+            }
+
+        st = TrainState.create(jax.tree.map(jnp.array, state.params),
+                               jax.tree.map(jnp.array, state.batch_stats),
+                               tx)
+        key, sub = jax.random.split(key)
+        db = meshlib.shard_batch(host_batch(30_000), mesh)
+        st, out = step(st, grid, static, db, sub)   # compile + warm
+        _sync(out["total"])
+        call_s = []
+        for c in range(n_steps):
+            t0 = time.time()
+            db = meshlib.shard_batch(host_batch(40_000 + c), mesh)
+            key, sub = jax.random.split(key)
+            st, out = step(st, grid, static, db, sub)
+            _sync(out["total"])
+            call_s.append(time.time() - t0)
+        n_chips = len(jax.devices())
+        sps = best_bs / float(np.median(call_s)) / n_chips
+    return sps, {"samples_per_sec_per_chip": round(sps, 1),
+                 "feed": "fresh host batch per step"}
 
 
 def _cached_scan_rate(mesh, model, cfg, bank, grid, static, state, tx,
@@ -909,8 +985,16 @@ _BEST: dict = {}
 
 
 def _assemble():
+    """Build (detail, compact) headline dicts from the best-so-far state.
+
+    ``detail`` carries every section; ``compact`` is a <1000-char digest.
+    The COMPACT line is printed LAST: the driver captures only the final
+    ~2000 chars of stdout and parses the last JSON line, and in rounds 3
+    AND 4 the single ever-growing detail line outgrew that window, so the
+    official record parsed as null both times (VERDICT r4 item 1).
+    """
     if not _BEST:
-        return None
+        return None, None
     ref = _SECTIONS.get("baseline_samples_per_sec")
     sps = _BEST["samples_per_sec_per_chip"]
     fps = _BEST.get("flops_per_sample")
@@ -939,7 +1023,7 @@ def _assemble():
     }
     extra.update(_SECTIONS)
     vs = (sps / est_a100) if est_a100 else (sps / ref if ref else None)
-    return _sanitize({
+    detail = _sanitize({
         "metric": "teacher_fused_fwd_bwd_samples_per_sec_per_chip",
         "value": round(sps, 3),
         "unit": "samples/sec/chip",
@@ -947,27 +1031,73 @@ def _assemble():
         "extra": extra,
     })
 
+    def _num(x):
+        return round(x, 1) if isinstance(x, (int, float)) else None
+
+    cached = _SECTIONS.get("teacher_cached_features") or {}
+    cscan = cached.get("scan_dispatch") or {}
+    cps = cached.get("per_step_fresh_feed") or {}
+    compact = _sanitize({
+        "metric": "teacher_fused_fwd_bwd_samples_per_sec_per_chip",
+        "value": round(sps, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs, 3) if vs else None,
+        "mfu": extra["mfu"],
+        "dispatch": _BEST.get("dispatch"),
+        "batch_size": _BEST.get("batch_size"),
+        "n_chips": _BEST.get("n_chips"),
+        "cached_scan_sps_chip":
+            _num(cscan.get("samples_per_sec_per_chip")),
+        "cached_per_step_fresh_sps_chip":
+            _num(cps.get("samples_per_sec_per_chip")),
+        "cached_per_step_resident_sps_chip":
+            _num((cached.get("per_batch_size") or {}).get(
+                str(cached.get("batch_size")))),
+        "cached_winner": cached.get("winner"),
+        "ssl_sps": _num(_SECTIONS.get("ssl_pretrain_samples_per_sec")),
+        "preprocess_rows_ps":
+            _num(_SECTIONS.get("preprocess_rows_per_sec")),
+        "terminated": _SECTIONS.get("terminated_by")
+            or _SECTIONS.get("terminated_by_signal"),
+        "wall_time_s": _SECTIONS.get("wall_time_s"),
+        "detail": "earlier stdout line + BENCH_DETAIL.json",
+    })
+    return detail, compact
+
 
 def _emit():
-    d = _assemble()
-    if d is not None:
-        print(json.dumps(d), flush=True)
+    detail, compact = _assemble()
+    if detail is None:
+        return
+    try:
+        path = os.environ.get("BENCH_DETAIL_PATH",
+                              os.path.join(REPO, "BENCH_DETAIL.json"))
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except Exception:
+        pass
+    # detail first, compact LAST — consumers take the last JSON line, and
+    # only the compact one is guaranteed to fit a bounded tail capture
+    print(json.dumps(detail), flush=True)
+    print(json.dumps(compact), flush=True)
 
 
 def _signal_emit(signum, frame):
     _SECTIONS["terminated_by_signal"] = int(signum)
     _emit()
-    os._exit(0)
+    os._exit(128 + int(signum))   # a killed run must NOT report rc=0
 
 
 def _watchdog_exit():
     """Hard-deadline backstop that works even when the MAIN thread is
     blocked inside a C call (a hung remote compile defers Python signal
     handlers indefinitely — observed through the tunnel): a daemon thread
-    emits the best-so-far line and hard-exits the process."""
+    emits the best-so-far line and hard-exits the process — with a
+    NON-zero rc so a watchdog kill is distinguishable from completion
+    (ADVICE r4)."""
     _SECTIONS["terminated_by"] = "watchdog_thread"
     _emit()
-    os._exit(0)
+    os._exit(97)
 
 
 def main():
@@ -1043,12 +1173,16 @@ def main():
     if "samples_per_sec_per_chip" in scan_px:
         scan_reps.append(scan_px["samples_per_sec_per_chip"])
         if left() > 300:
-            r2 = measure_jax_teacher(batch_size=128, n_steps=3, warmup=1,
-                                     scan_k=8)
-            scan_reps.append(r2["samples_per_sec_per_chip"])
-            if r2["samples_per_sec_per_chip"] < \
-                    scan_px["samples_per_sec_per_chip"]:
-                scan_px = r2
+            try:   # a tripped repeat degrades to the single-rep number,
+                   # like every other section (ADVICE r4)
+                r2 = measure_jax_teacher(batch_size=128, n_steps=3,
+                                         warmup=1, scan_k=8)
+                scan_reps.append(r2["samples_per_sec_per_chip"])
+                if r2["samples_per_sec_per_chip"] < \
+                        scan_px["samples_per_sec_per_chip"]:
+                    scan_px = r2
+            except Exception as e:
+                _SECTIONS["pixel_scan_repeat2_error"] = str(e)
         scan_med = float(np.median(scan_reps))
         scan_px = dict(scan_px)
         scan_px["samples_per_sec_per_chip"] = scan_med
