@@ -75,6 +75,7 @@ echo "=== manifest diff vs scripts/e2e_manifest.txt ==="
       -e 's#^\./##' \
       -e 's#(teacher|student|ssl|cxr_head)/[0-9]{8}_[0-9]{6}[^/]*/#\1/RUN/#' \
       -e 's#best-step[0-9]+-[0-9.]+\.msgpack#best-STEP.msgpack#' \
+      -e 's#pretrain-step[0-9]+-[0-9.]+\.msgpack#pretrain-STEP.msgpack#' \
       -e 's#/[0-9]+\.jpg#/N.jpg#' -e 's#raw/.*#raw/...#' \
       | sort -u ) > "$WORK/manifest_actual.txt"
 if [[ "${REGEN_MANIFEST:-}" == "1" ]]; then

@@ -101,11 +101,17 @@ def test_full_geometry_conversion_matches_goldens(tmp_path):
         "patch_mean": patches.mean(axis=(1, 2)),      # [2]
         "patch_std": patches.std(axis=(1, 2)),        # [2]
     }
+    # REGEN_GOLDENS=1 OVERWRITES even an existing golden (ADVICE r4: the
+    # documented regeneration path must work after an intentional numerics
+    # change, not only when the file is missing). NOTE: the committed
+    # golden values were produced under the test conftest's default
+    # --xla_backend_optimization_level=0; regenerate with TEST_XLA_OPT=1
+    # to pin the production optimization level instead.
+    if os.environ.get("REGEN_GOLDENS") == "1":
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        np.savez_compressed(GOLDEN, **got)
+        pytest.skip("goldens regenerated — rerun to assert")
     if not os.path.exists(GOLDEN):
-        if os.environ.get("REGEN_GOLDENS") == "1":
-            os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-            np.savez_compressed(GOLDEN, **got)
-            pytest.skip("goldens regenerated — rerun to assert")
         raise AssertionError(
             f"golden file missing: {GOLDEN}; generate once with "
             "REGEN_GOLDENS=1")
