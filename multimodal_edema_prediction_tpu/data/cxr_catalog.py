@@ -110,13 +110,61 @@ def assign_cxr_to_slots(cxr_stay_ids: np.ndarray,
     return slot_idx, keep
 
 
+def join_lung_masks(catalog: dict, seg_mask: dict,
+                    lung_data_path: str = "") -> dict:
+    """CXLSeg lung-mask LEFT join (cxr_db cells 2-8 + 30).
+
+    The reference loads ``CXLSeg-mask.csv`` (chest-x-ray-segmentation 1.0.0),
+    renames ``DicomPath`` → ``lung_mask_path``, prefixes it with
+    ``<root>/lung_mask/``, and left-merges onto the jpg catalog on
+    ``(subject_id, study_id, dicom_id)``; ``lung_mask_path`` then rides into
+    the final multimodal df (cell 73). Unmatched rows keep ``None`` and
+    ``has_lung_mask=False``.
+
+    ``seg_mask``: columnar dict with ``subject_id``/``study_id``/
+    ``dicom_id``/``DicomPath`` (or pre-renamed ``lung_mask_path``) arrays.
+    Returns ``catalog`` with ``lung_mask_path`` (object) and
+    ``has_lung_mask`` (bool) columns added.
+    """
+    import os
+    paths = seg_mask.get("lung_mask_path", seg_mask.get("DicomPath"))
+    if paths is None:
+        raise KeyError("seg_mask needs a DicomPath/lung_mask_path column")
+    by_key = {}
+    for i, p in enumerate(paths):
+        if p is None:
+            continue
+        key = (int(seg_mask["subject_id"][i]), int(seg_mask["study_id"][i]),
+               str(seg_mask["dicom_id"][i]))
+        full = os.path.join(lung_data_path, "lung_mask", str(p)) \
+            if lung_data_path else str(p)
+        by_key.setdefault(key, full)            # first match wins, like merge
+    n = len(catalog["dicom_id"])
+    out_paths = np.empty(n, object)
+    has = np.zeros(n, bool)
+    for i in range(n):
+        key = (int(catalog["subject_id"][i]), int(catalog["study_id"][i]),
+               str(catalog["dicom_id"][i]))
+        p = by_key.get(key)
+        out_paths[i] = p
+        has[i] = p is not None
+    out = dict(catalog)
+    out["lung_mask_path"] = out_paths
+    out["has_lung_mask"] = has
+    return out
+
+
 def derive_catalog(metadata: dict, chexpert_labels: np.ndarray,
-                   label_policy: str = "to_positive") -> dict:
+                   label_policy: str = "to_positive",
+                   seg_mask: dict | None = None,
+                   lung_data_path: str = "") -> dict:
     """Full cxr_db pipeline on columnar inputs.
 
     metadata: dict with ``subject_id``/``study_id``/``dicom_id``/
     ``ViewPosition``/``StudyDate``/``StudyTime`` arrays aligned with
     ``chexpert_labels`` [N, K].
+    ``seg_mask``: optional CXLSeg mask table → ``lung_mask_path``/
+    ``has_lung_mask`` columns (cxr_db cell 30's left merge).
     Returns the filtered catalog dict + derived ``cxrtime`` + transformed
     labels.
     """
@@ -125,4 +173,6 @@ def derive_catalog(metadata: dict, chexpert_labels: np.ndarray,
     out["cxrtime"] = parse_cxrtime(out["StudyDate"], out["StudyTime"])
     out["labels"] = apply_uncertain_policy(
         np.asarray(chexpert_labels)[keep], label_policy)
+    if seg_mask is not None:
+        out = join_lung_masks(out, seg_mask, lung_data_path)
     return out

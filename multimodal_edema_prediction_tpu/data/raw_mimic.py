@@ -239,8 +239,11 @@ RAW_TABLES = {
     "outputevents": ("icu/outputevents",),
     "cxr_metadata": ("cxr/mimic-cxr-2.0.0-metadata", "cxr/metadata"),
     "cxr_chexpert": ("cxr/mimic-cxr-2.0.0-chexpert", "cxr/chexpert"),
+    # CXLSeg lung segmentation masks (chest-x-ray-segmentation 1.0.0;
+    # cxr_db cells 2-8) — optional: the join degrades to no mask columns
+    "cxr_seg_mask": ("cxr/CXLSeg-mask", "cxr/seg_mask"),
 }
-OPTIONAL_TABLES = {"omr", "diagnoses_icd"}
+OPTIONAL_TABLES = {"omr", "diagnoses_icd", "cxr_seg_mask"}
 _TIME_COLS = ("admittime", "dischtime", "deathtime", "intime", "outtime",
               "charttime", "starttime", "endtime", "dod")
 
@@ -766,14 +769,22 @@ def build_static(admissions: pd.DataFrame, patients: pd.DataFrame,
 # =============================================================================
 def build_cxr_frames(metadata: pd.DataFrame, chexpert: pd.DataFrame,
                      icustays: pd.DataFrame,
-                     label_policy: str = "to_positive"
+                     label_policy: str = "to_positive",
+                     seg_mask: Optional[pd.DataFrame] = None,
+                     lung_mask_root: str = ""
                      ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """→ (final_cxr_df catalog, anchor rows with stay/slot/cxr_flag).
 
     The catalog keeps the CXR-head label policy (U→1 by default, cell 24);
     anchor rows carry the RAW CheXpert values — the anchor-level U→0 happens
     downstream in :func:`..data.pipeline.build_anchor_frame`
-    (data_processing.py:162-174)."""
+    (data_processing.py:162-174).
+
+    ``seg_mask``: CXLSeg-mask table (chest-x-ray-segmentation 1.0.0). The
+    reference renames ``DicomPath`` → ``lung_mask_path``, prefixes it with
+    ``<root>/lung_mask/`` and LEFT-merges on (subject_id, study_id,
+    dicom_id) — cxr_db cells 5-6 + 30; ``lung_mask_path`` rides into the
+    final multimodal frame (cell 73)."""
     m = metadata.merge(chexpert, on=["subject_id", "study_id"], how="inner")
     keep = filter_ap_pa(m["ViewPosition"].tolist())
     m = m[keep].reset_index(drop=True)
@@ -788,6 +799,18 @@ def build_cxr_frames(metadata: pd.DataFrame, chexpert: pd.DataFrame,
                  "cxrtime"]].copy()
     for j, c in enumerate(label_cols):
         catalog[CHEXPERT_TO_LABEL[c]] = head[:, j]
+
+    if seg_mask is not None:                     # CXLSeg join (cell 30)
+        sm = seg_mask.rename(columns={"DicomPath": "lung_mask_path"})
+        sm = sm[["subject_id", "study_id", "dicom_id", "lung_mask_path"]] \
+            .drop_duplicates(["subject_id", "study_id", "dicom_id"])
+        if lung_mask_root:                       # cell 6 path prefix
+            sm["lung_mask_path"] = sm["lung_mask_path"].map(
+                lambda x: os.path.join(lung_mask_root, "lung_mask", str(x))
+                if pd.notna(x) else x)
+        catalog = catalog.merge(sm, on=["subject_id", "study_id",
+                                        "dicom_id"], how="left")
+        catalog["has_lung_mask"] = catalog["lung_mask_path"].notna()
 
     # assign each image to a stay of the same subject whose window holds it
     stays = icustays[["subject_id", "hadm_id", "stay_id", "intime",
@@ -865,9 +888,10 @@ def run_l0(raw_root: str, out_dir: str, n_timesteps: int = 24,
     icu_events = icu_events[
         icu_events["stay_id"].isin(static_df["stay_id"])]
 
-    catalog, anchors = build_cxr_frames(t["cxr_metadata"],
-                                        t["cxr_chexpert"], icustays,
-                                        label_policy)
+    catalog, anchors = build_cxr_frames(
+        t["cxr_metadata"], t["cxr_chexpert"], icustays, label_policy,
+        seg_mask=t.get("cxr_seg_mask"),
+        lung_mask_root=os.path.join(raw_root, "cxr"))
     final_df = build_final_df(icu_events, anchors)
 
     os.makedirs(out_dir, exist_ok=True)

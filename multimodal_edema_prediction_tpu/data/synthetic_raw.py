@@ -185,6 +185,14 @@ def make_raw_layout(root, n_subjects=24, stay_hours=40, seed=0):
     _write(root, "icu/outputevents", pd.DataFrame(outputs))
     _write(root, "cxr/mimic-cxr-2.0.0-metadata", pd.DataFrame(meta_rows))
     _write(root, "cxr/mimic-cxr-2.0.0-chexpert", pd.DataFrame(chex_rows))
+    # CXLSeg lung masks for the AP images only — the PA/LATERAL rows stay
+    # unmatched so the left-join semantics (NaN path, has_lung_mask=False)
+    # are exercised end-to-end (cxr_db cells 2-8 + 30)
+    seg_rows = [{"subject_id": r["subject_id"], "study_id": r["study_id"],
+                 "dicom_id": r["dicom_id"],
+                 "DicomPath": f"{r['dicom_id']}.png"}
+                for r in meta_rows if r["ViewPosition"] == "AP"]
+    _write(root, "cxr/CXLSeg-mask", pd.DataFrame(seg_rows))
     return root
 
 

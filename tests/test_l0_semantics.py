@@ -73,6 +73,37 @@ class TestCxrCatalog:
         assert np.isnan(out["labels"][1, 0])
         assert out["cxrtime"][1] == np.datetime64("2019-03-21T12:00", "ms")
 
+    def test_cxlseg_lung_mask_join(self):
+        """cxr_db cells 2-8 + 30: CXLSeg-mask DicomPath → lung_mask_path,
+        <root>/lung_mask/ prefix, LEFT merge on (subject, study, dicom) —
+        unmatched rows keep None / has_lung_mask=False."""
+        catalog = {
+            "subject_id": np.array([1, 3]),
+            "study_id": np.array([10, 30]),
+            "dicom_id": np.array(["a", "c"]),
+        }
+        seg = {
+            "subject_id": np.array([1, 9]),
+            "study_id": np.array([10, 90]),
+            "dicom_id": np.array(["a", "z"]),
+            "DicomPath": np.array(["p10/a.png", "p90/z.png"]),
+        }
+        out = C.join_lung_masks(catalog, seg, lung_data_path="/seg/root")
+        assert out["lung_mask_path"][0] == "/seg/root/lung_mask/p10/a.png"
+        assert out["lung_mask_path"][1] is None
+        np.testing.assert_array_equal(out["has_lung_mask"], [True, False])
+        # derive_catalog wires it through end-to-end
+        meta = {
+            "subject_id": np.array([1, 3]),
+            "study_id": np.array([10, 30]),
+            "dicom_id": np.array(["a", "c"]),
+            "ViewPosition": np.array(["AP", "PA"]),
+            "StudyDate": np.array([20190321] * 2),
+            "StudyTime": np.array([953.0, 1200.0]),
+        }
+        full = C.derive_catalog(meta, np.zeros((2, 2)), seg_mask=seg)
+        assert full["has_lung_mask"].tolist() == [True, False]
+
 
 # =============================================================================
 # demographic_preprocess.ipynb

@@ -139,6 +139,22 @@ def test_lateral_views_filtered_and_anchors_assigned(l0_run):
     assert (anchors["slot_idx"] == 30).sum() > 0
 
 
+def test_cxlseg_lung_mask_joined(l0_run):
+    """cxr_db cells 2-8 + 30: the CXLSeg-mask table left-joins
+    lung_mask_path (with the <root>/cxr/lung_mask/ prefix) onto the
+    catalog; PA rows have no synthetic mask → has_lung_mask=False."""
+    root, _, paths = l0_run
+    cxr_df = _load_frame(paths, "final_cxr_df")
+    assert "lung_mask_path" in cxr_df.columns
+    ap = cxr_df[cxr_df["ViewPosition"] == "AP"]
+    pa = cxr_df[cxr_df["ViewPosition"] == "PA"]
+    assert ap["has_lung_mask"].all()
+    assert not pa["has_lung_mask"].any()
+    p0 = ap["lung_mask_path"].iloc[0]
+    assert p0.startswith(os.path.join(root, "cxr", "lung_mask"))
+    assert p0.endswith(".png")
+
+
 def test_death_label(l0_run):
     _, _, paths = l0_run
     static_df = _load_frame(paths, "static_full")
