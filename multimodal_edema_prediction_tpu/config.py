@@ -193,6 +193,13 @@ class PerceiverConfig(_ConfigBase):
     # correction-head dropout override; None → head_dropout. The reference
     # resets it to --lp_correction_dropout in LP mode (trainer.py:365-370).
     correction_dropout: Optional[float] = None
+    # Pallas flash kernel for the img_cross 1370-token-KV read. Engages
+    # ONLY where it is numerically exact: eval/serving (train keeps the
+    # standard path because attention-prob dropout 0.2 — run.py:78 — has
+    # no flash equivalent) and KV len >= 256 with d_head >= 64, i.e. the
+    # image cross-attention but not the 24-token ts_cross. Measured on the
+    # cached tier in benchmarks/perceiver_flash_probe.py (docs/PERF.md).
+    use_flash: bool = False
 
 
 @dataclass(frozen=True)

@@ -23,9 +23,18 @@ from .layers import MultiHeadAttention, gelu_exact
 
 
 class PerceiverBlock(nn.Module):
-    """Pre-LN cross-attention + FFN with residuals (reference :745-774)."""
+    """Pre-LN cross-attention + FFN with residuals (reference :745-774).
+
+    ``use_flash``: route the attention through the Pallas flash kernel
+    where that is numerically EXACT — eval/serving with KV length >= 256
+    and d_head >= 64 (the img_cross 1370-token read). Training always
+    keeps the standard path: the reference applies dropout 0.2 to the
+    attention probabilities (run.py:78 → _PerceiverBlock), which the
+    flash kernel cannot reproduce; `MultiHeadAttention.flash_ok` gates on
+    exactly these conditions."""
     n_heads: int
     dropout: float = 0.1
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, latents, kv, train: bool = False,
@@ -36,7 +45,8 @@ class PerceiverBlock(nn.Module):
         q = q.astype(latents.dtype)
         k = k.astype(latents.dtype)
         attn = MultiHeadAttention(self.n_heads, d // self.n_heads,
-                                  self.dropout, qkv_bias=True, name="attn")
+                                  self.dropout, qkv_bias=True,
+                                  use_flash=self.use_flash, name="attn")
         if return_attn:
             a, w = attn(q, k, train=train, return_weights=True)
         else:
@@ -138,7 +148,8 @@ class PatchDualPathologyPerceiver(nn.Module):
         ts_kv = nn.Dense(cfg.d_latent, dtype=dtype, param_dtype=jnp.float32,
                          name="ts_proj")(ts_sel)
 
-        img_cross = PerceiverBlock(cfg.n_heads, cfg.dropout, name="img_cross")
+        img_cross = PerceiverBlock(cfg.n_heads, cfg.dropout,
+                                   use_flash=cfg.use_flash, name="img_cross")
         img_self = PerceiverBlock(cfg.n_heads, cfg.dropout, name="img_self")
         ts_cross = PerceiverBlock(cfg.n_heads, cfg.dropout, name="ts_cross")
         ts_self = PerceiverBlock(cfg.n_heads, cfg.dropout, name="ts_self")

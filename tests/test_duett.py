@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from multimodal_edema_prediction_tpu.config import DuettConfig
+from jitu import jit_apply, jit_grad, jit_init
 from multimodal_edema_prediction_tpu.models import duett as D
 
 CFG = DuettConfig(n_variables=6, n_timesteps=8, d_static=5, d_embedding=8,
@@ -44,7 +45,7 @@ def test_encoder_shapes_and_rep_row(rng):
     x_ts, x_static, times = _batch(rng)
     x_in, _ = D.feats_to_input(None, x_ts, x_static)
     enc = D.DuettEncoder(CFG)
-    vars_ = enc.init(jax.random.key(0), x_in, x_static, times)
+    vars_ = jit_init(enc, jax.random.key(0), x_in, x_static, times)
     tokens, psi = enc.apply(vars_, x_in, x_static, times)
     assert tokens.shape == (4, 9, CFG.d_representation)
     assert psi.shape == (4, 9, 7, 8)
@@ -57,7 +58,7 @@ def test_masked_row_replaces_psi_with_mask_embedding(rng):
     x_in, _ = D.feats_to_input(None, x_ts, x_static)
     x_in = x_in.at[:, 3, :].set(0.0).at[:, 3, -1].set(1.0)
     enc = D.DuettEncoder(CFG)
-    vars_ = enc.init(jax.random.key(0), x_in, x_static, times)
+    vars_ = jit_init(enc, jax.random.key(0), x_in, x_static, times)
     t1, _ = enc.apply(vars_, x_in, x_static, times)
     # perturb the original values at the masked row → output must not change
     x_in2 = x_in.at[:, 3, :CFG.n_variables].set(99.0)
@@ -107,7 +108,7 @@ def test_pretrain_model_output_shapes(rng):
     x_ts, x_static, times = _batch(rng)
     pb = D.pretrain_prep_batch(jax.random.key(0), x_ts, masked_steps=1)
     m = D.DuettPretrainModel(CFG)
-    vars_ = m.init(jax.random.key(0), pb, x_static, times)
+    vars_ = jit_init(m, jax.random.key(0), pb, x_static, times)
     out = m.apply(vars_, pb, x_static, times)
     assert out["y_hat_value"].shape == (4, 1, 6)
     assert out["y_hat_presence"].shape == (4, 1, 6)
@@ -120,8 +121,8 @@ def test_classifier_forward_and_nonzero_grads(rng, fusion):
     x_ts, x_static, times = _batch(rng)
     x_in, _ = D.feats_to_input(None, x_ts, x_static)
     m = D.DuettClassifier(CFG, fusion_method=fusion)
-    vars_ = m.init(jax.random.key(0), x_in, x_static, times)
-    logits = m.apply(vars_, x_in, x_static, times)
+    vars_ = jit_init(m, jax.random.key(0), x_in, x_static, times)
+    logits = jit_apply(m, vars_, x_in, x_static, times)
     assert logits.shape == (4,)
 
     def loss(p):
@@ -130,7 +131,7 @@ def test_classifier_forward_and_nonzero_grads(rng, fusion):
                          mutable=["batch_stats"])
         return (out ** 2).mean()
 
-    g = jax.grad(loss)(vars_["params"])
+    g = jit_grad(loss, vars_["params"])
     gnorm = sum(jax.tree.leaves(
         jax.tree.map(lambda a: float(jnp.abs(a).sum()), g)))
     assert np.isfinite(gnorm) and gnorm > 0

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jitu import jit_apply, jit_init
+
 from multimodal_edema_prediction_tpu.config import DuettConfig
 from multimodal_edema_prediction_tpu.models import duett as D
 
@@ -87,9 +89,9 @@ def test_encoder_matches_numpy_reimplementation(rng):
                             (B, T)).copy()
 
     enc = D.DuettEncoder(CFG)
-    variables = enc.init(jax.random.key(0), jnp.asarray(x_in),
+    variables = jit_init(enc, jax.random.key(0), jnp.asarray(x_in),
                          jnp.asarray(x_static), jnp.asarray(times))
-    tokens, psi = enc.apply(variables, jnp.asarray(x_in),
+    tokens, psi = jit_apply(enc, variables, jnp.asarray(x_in),
                             jnp.asarray(x_static), jnp.asarray(times))
     p = jax.tree.map(np.asarray, variables["params"])
 

@@ -16,6 +16,8 @@ from multimodal_edema_prediction_tpu.train.teacher_loop import \
 
 import pytest
 
+from jitu import jit_apply, jit_init
+
 CFG = TeacherConfig(
     duett=DuettConfig(n_variables=6, n_timesteps=8, d_static=5,
                       d_embedding=8, n_layers=1, d_feedforward=32,
@@ -34,8 +36,8 @@ def test_single_mode_forward_and_attn(rng):
             jnp.array(rng.normal(size=(B, 5)).astype(np.float32)),
             jnp.zeros((B, T)),
             jnp.array(rng.random((B, 28, 28, 3)).astype(np.float32)))
-    vars_ = model.init(jax.random.key(0), *args)
-    out = model.apply(vars_, *args, return_attn=True)
+    vars_ = jit_init(model, jax.random.key(0), *args)
+    out = jit_apply(model, vars_, *args, return_attn=True)
     assert out["stage2_logits"].shape == (B, 4)
     assert out["stage4_logits"].shape == (B, 4)
     assert out["main_logit"].shape == (B,)

@@ -15,6 +15,7 @@ import torch
 import jax
 import jax.numpy as jnp
 
+from jitu import jit_apply, jit_grad
 from ref_harness import (
     load_reference, randomize_module, t2n,
     patch_dual_perceiver_params, perceiver_block_from, duett_encoder_params,
@@ -171,7 +172,8 @@ class TestPerceiverParity:
                               ts_ablation=abl)
         mod = PatchDualPathologyPerceiver(cfg, d_ts=d_ts)
         params = patch_dual_perceiver_params(ref)
-        j_out = mod.apply({"params": params}, jnp.asarray(ts_tokens),
+        j_out = jit_apply(mod, {"params": params},
+                          jnp.asarray(ts_tokens),
                           jnp.asarray(img_proj), train=False,
                           return_attn=True)
         for k in ("img_logits", "ts_logits", "fusion_logits",
@@ -211,7 +213,7 @@ class TestPerceiverParity:
                           jnp.asarray(t2n(img_proj)), train=False)
             return o["fusion_logits"].sum()
 
-        g = jax.grad(loss)(jax.tree.map(jnp.asarray, params))
+        g = jit_grad(loss, jax.tree.map(jnp.asarray, params))
         assert float(jnp.abs(g["image_head"]["in"]["kernel"]).sum()) == 0.0
         corr_g = float(jnp.abs(
             g["correction_head"]["head"]["in"]["kernel"]).sum())
@@ -240,7 +242,8 @@ class TestPerceiverParity:
         cfg = PerceiverConfig(d_latent=d_lat, n_heads=4, dropout=0.1)
         mod = TemporalPerceiver(cfg, d_ts=d_ts, n_latents=16, n_layers=2)
         params = jax.tree.map(jnp.asarray, temporal_perceiver_params(ref))
-        j_out = mod.apply({"params": params}, jnp.asarray(ts_tokens),
+        j_out = jit_apply(mod, {"params": params},
+                          jnp.asarray(ts_tokens),
                           jnp.asarray(img_kv), train=False)
         assert_close(j_out, t_out, name="legacy_fused")
 
@@ -270,7 +273,8 @@ class TestPerceiverParity:
                               dropout=0.1, head_hidden=32, head_dropout=0.1)
         mod = PathologyPerceiver(cfg, d_ts=d_ts)
         params = jax.tree.map(jnp.asarray, pathology_perceiver_params(ref))
-        j_out = mod.apply({"params": params}, jnp.asarray(ts_tokens),
+        j_out = jit_apply(mod, {"params": params},
+                          jnp.asarray(ts_tokens),
                           jnp.asarray(img_proj), train=False,
                           return_attn=True, ts_ablation=abl)
         for k in ("stage2_logits", "stage4_logits", "img_attn", "ts_attn"):
@@ -301,7 +305,8 @@ class TestPerceiverParity:
                               ts_ablation=abl)
         mod = DualPathologyPerceiver(cfg, d_ts=d_ts)
         params = jax.tree.map(jnp.asarray, dual_perceiver_params(ref))
-        j_out = mod.apply({"params": params}, jnp.asarray(ts_tokens),
+        j_out = jit_apply(mod, {"params": params},
+                          jnp.asarray(ts_tokens),
                           jnp.asarray(img_logits), train=False,
                           return_attn=True)
         for k in ("ts_logits", "fusion_logits", "residuals", "ts_attn"):
@@ -313,7 +318,7 @@ class TestPerceiverParity:
                           train=False)
             return o["fusion_logits"].sum()
 
-        g_p, g_img = jax.grad(loss, argnums=(0, 1))(
+        g_p, g_img = jax.jit(jax.grad(loss, argnums=(0, 1)))(
             params, jnp.asarray(img_logits))
         assert float(jnp.abs(g_p["residual_heads"]["w1"]).sum()) > 0
         assert float(jnp.abs(g_img).sum()) == 0.0
@@ -381,8 +386,8 @@ class TestDuettEncodeParity:
                           n_layers=2, transformer_dropout=0.0)
         enc = jduett.DuettEncoder(cfg, identity_tx=True)
         params, batch_stats = duett_encoder_params(ref)
-        j_tokens, _ = enc.apply(
-            {"params": params, "batch_stats": batch_stats},
+        j_tokens, _ = jit_apply(
+            enc, {"params": params, "batch_stats": batch_stats},
             jnp.asarray(x_in), jnp.asarray(x_static), jnp.asarray(times),
             train=False)
         assert_close(j_tokens, t_tokens, name="encode_tokens")
@@ -399,8 +404,8 @@ class TestDuettEncodeParity:
         cfg = DuettConfig(n_variables=V, n_timesteps=T, d_static=d_static)
         enc = jduett.DuettEncoder(cfg, identity_tx=True)
         params, batch_stats = duett_encoder_params(ref)
-        j_tokens, _ = enc.apply(
-            {"params": params, "batch_stats": batch_stats},
+        j_tokens, _ = jit_apply(
+            enc, {"params": params, "batch_stats": batch_stats},
             jnp.asarray(x_in), jnp.asarray(x_static), jnp.asarray(times),
             train=False)
         assert_close(j_tokens, t_tokens)

@@ -15,6 +15,7 @@ from multimodal_edema_prediction_tpu.data import synthetic as S
 from multimodal_edema_prediction_tpu.models.teacher import TeacherModel
 from multimodal_edema_prediction_tpu.train.teacher_loop import (
     init_teacher, make_synthetic_image_source, train_teacher)
+from jitu import jit_apply, jit_init
 
 TINY = TeacherConfig(
     duett=DuettConfig(n_variables=8, n_timesteps=24, d_static=18,
@@ -43,8 +44,9 @@ def _inputs(rng, B=4, cfg=TINY):
 def test_teacher_forward_shapes_and_zero_init_fusion(rng):
     model = TeacherModel(TINY)
     x_in, x_static, times, pixels = _inputs(rng)
-    vars_ = model.init(jax.random.key(0), x_in, x_static, times, pixels)
-    out = model.apply(vars_, x_in, x_static, times, pixels)
+    vars_ = jit_init(model, jax.random.key(0), x_in, x_static, times,
+                     pixels)
+    out = jit_apply(model, vars_, x_in, x_static, times, pixels)
     assert out["img_logits"].shape == (4, 7)
     assert out["ts_logits"].shape == (4, 7)
     assert out["fusion_logits"].shape == (4, 7)
@@ -84,8 +86,10 @@ def test_fusion_gradient_does_not_touch_image_branch(rng):
 def test_return_attn_shapes(rng):
     model = TeacherModel(TINY)
     x_in, x_static, times, pixels = _inputs(rng)
-    vars_ = model.init(jax.random.key(0), x_in, x_static, times, pixels)
-    out = model.apply(vars_, x_in, x_static, times, pixels, return_attn=True)
+    vars_ = jit_init(model, jax.random.key(0), x_in, x_static, times,
+                     pixels)
+    out = jit_apply(model, vars_, x_in, x_static, times, pixels,
+                    return_attn=True)
     n_patches = TINY.vit.n_patches
     assert out["img_attn"].shape == (4, 7, n_patches)
     assert out["ts_attn"].shape == (4, 7, TINY.duett.n_timesteps)  # hourly_only
@@ -98,9 +102,10 @@ def test_dual_mode_forward(rng):
     model = TeacherModel(cfg)
     x_in, x_static, times, pixels = _inputs(rng)
     keep_idx = jnp.arange(7)
-    vars_ = model.init(jax.random.key(0), x_in, x_static, times, pixels,
-                       keep_idx=keep_idx)
-    out = model.apply(vars_, x_in, x_static, times, pixels, keep_idx=keep_idx)
+    vars_ = jit_init(model, jax.random.key(0), x_in, x_static, times,
+                     pixels, keep_idx=keep_idx)
+    out = jit_apply(model, vars_, x_in, x_static, times, pixels,
+                    keep_idx=keep_idx)
     assert out["fusion_logits"].shape == (4, 7)
     # faithful 'dual' fusion is plain additive: fusion = img + residual
     # (per-label residual heads with STANDARD init — the commented reference

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jitu import jit_grad, jit_init
 from multimodal_edema_prediction_tpu.models.trajectory import (
     LocalTrajectoryEncoder, time_since_last_observation)
 
@@ -30,7 +31,7 @@ def _make_sparse(rng, B=3, T=24, V=5):
 def test_shapes_mask_and_grads(rng):
     x = _make_sparse(rng)
     m = LocalTrajectoryEncoder(n_vars=5, n_timesteps=24, d_model=16)
-    vars_ = m.init(jax.random.key(0), x)
+    vars_ = jit_init(m, jax.random.key(0), x)
     tokens, pad = m.apply(vars_, x, return_padding_mask=True)
     W = 3
     assert tokens.shape == (3, 5 * W + 1, 16)
@@ -53,6 +54,6 @@ def test_shapes_mask_and_grads(rng):
                     rngs={"dropout": jax.random.key(1)})
         return (t ** 2).mean()
 
-    g = jax.grad(loss)(vars_["params"])
+    g = jit_grad(loss, vars_["params"])
     gnorm = sum(float(jnp.abs(a).sum()) for a in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
