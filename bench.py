@@ -530,10 +530,10 @@ def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
         static = jax.device_put(
             rng.normal(size=(n_stays, D)).astype(np.float32), rep)
         key = jax.random.key(1)
-        per_bs = {}
+        per_bs, steps = {}, {}
         for bs in (batch_size,) + tuple(batch_sweep):
             tcfg_bs = TrainConfig(batch_size=bs)
-            step = engine.make_teacher_step(
+            step = steps[bs] = engine.make_teacher_step(
                 model, tcfg_bs, cfg.duett, T, np.ones(K, np.float32),
                 dtype=jnp.bfloat16, feature_source=bank.feature_source())
             batch = meshlib.shard_batch({
@@ -595,7 +595,8 @@ def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
         for _ in range(2):
             p_sps, ps_info = _cached_per_step_fresh_rate(
                 mesh, model, cfg, bank, grid, static, state, tx, best_bs, T,
-                K, n_stays, image_bank_size, key, n_steps=scan_k * n_calls)
+                K, n_stays, image_bank_size, key, n_steps=scan_k * n_calls,
+                step=steps[best_bs])
             ps_reps.append(p_sps)
         ps_sps = float(np.median(ps_reps))
         ps_info["samples_per_sec_per_chip"] = round(ps_sps, 1)
@@ -625,11 +626,13 @@ def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
 
 def _cached_per_step_fresh_rate(mesh, model, cfg, bank, grid, static, state,
                                 tx, best_bs, T, K, n_stays, image_bank_size,
-                                key, n_steps):
+                                key, n_steps, step=None):
     """Per-step dispatch with the PRODUCTION feed: a fresh host batch is
     built and sharded before every step (mirrors `_cached_scan_rate`'s
     megabatch feed so the two dispatch modes are directly comparable).
-    Per-call median timing."""
+    Per-call median timing. ``step``: the sweep's already-compiled jitted
+    step at ``best_bs`` — passing it avoids recompiling an identical
+    program through the tunnel."""
     import jax
     import jax.numpy as jnp
     from multimodal_edema_prediction_tpu.config import TrainConfig
@@ -637,10 +640,11 @@ def _cached_per_step_fresh_rate(mesh, model, cfg, bank, grid, static, state,
     from multimodal_edema_prediction_tpu.train import engine
     from multimodal_edema_prediction_tpu.train.state import TrainState
     with mesh:
-        step = engine.make_teacher_step(
-            model, TrainConfig(batch_size=best_bs), cfg.duett, T,
-            np.ones(K, np.float32), dtype=jnp.bfloat16,
-            feature_source=bank.feature_source())
+        if step is None:
+            step = engine.make_teacher_step(
+                model, TrainConfig(batch_size=best_bs), cfg.duett, T,
+                np.ones(K, np.float32), dtype=jnp.bfloat16,
+                feature_source=bank.feature_source())
 
         def host_batch(seed):
             r = np.random.default_rng(seed)
