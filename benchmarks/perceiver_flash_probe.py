@@ -86,6 +86,8 @@ def main():
                 _v, ts, im, train=False)["fusion_logits"])
             results[f"perceiver_fwd_ms_{label}"] = round(
                 timeit_med(fwd, list(zip(ts_v, im_v))), 3)
+            print(f"  perceiver_fwd_ms_{label}: "
+                  f"{results[f'perceiver_fwd_ms_{label}']}", flush=True)
 
         # ---- 2./3. cached-tier eval + dropout-0 train steps ------------
         for label, cfg in (
@@ -106,8 +108,8 @@ def main():
             P = cfg.vit.n_patches
             fbank = CXRFeatureBank(
                 np.arange(32, dtype=np.int64),
-                rng.normal(size=(32, cfg.d_img)).astype(np.float32),
-                rng.normal(size=(32, P, cfg.d_img)).astype(np.float32),
+                rng.normal(size=(32, cfg.d_img)).astype(jnp.bfloat16),
+                rng.normal(size=(32, P, cfg.d_img)).astype(jnp.bfloat16),
                 device_put=lambda a: jax.device_put(a, rep))
             fsrc = fbank.feature_source()
             grid = jax.device_put(
@@ -138,6 +140,8 @@ def main():
                     lambda b, _e=ev, _p=params, _b=b0:
                         _e(_p, _b, grid, static, b)["main_logit"],
                     [(b,) for b in batches]), 3)
+                print(f"  cached_eval_ms_{label}: "
+                      f"{results[f'cached_eval_ms_{label}']}", flush=True)
             else:                                  # dropout-0 train bound
                 tx = make_optimizer(tcfg.optim, 1000,
                                     frozen_prefixes=teacher_frozen_prefixes(
@@ -152,10 +156,11 @@ def main():
                 def full(b, key, _s=stash, _f=step):
                     _s["s"], out = _f(_s["s"], grid, static, b, key)
                     return out["total"]
-                results[f"cached_train_nodrop_ms_{label.split('_')[0]}"] = \
-                    round(timeit_med(
-                        full, [(b, jax.random.key(i))
-                               for i, b in enumerate(batches)]), 3)
+                kk = f"cached_train_nodrop_ms_{label.split('_')[0]}"
+                results[kk] = round(timeit_med(
+                    full, [(b, jax.random.key(i))
+                           for i, b in enumerate(batches)]), 3)
+                print(f"  {kk}: {results[kk]}", flush=True)
 
     results["batch"] = B
     for k in sorted(results):
