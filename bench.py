@@ -1038,9 +1038,16 @@ def _assemble():
     def _num(x):
         return round(x, 1) if isinstance(x, (int, float)) else None
 
-    cached = _SECTIONS.get("teacher_cached_features") or {}
-    cscan = cached.get("scan_dispatch") or {}
-    cps = cached.get("per_step_fresh_feed") or {}
+    def _dict(x):
+        # sections hold placeholders mid-run ("pending") and error strings;
+        # the compact assembler must never throw on them (a raise inside
+        # the on_partial flush killed the whole cached section in the r5
+        # trial run)
+        return x if isinstance(x, dict) else {}
+
+    cached = _dict(_SECTIONS.get("teacher_cached_features"))
+    cscan = _dict(cached.get("scan_dispatch"))
+    cps = _dict(cached.get("per_step_fresh_feed"))
     compact = _sanitize({
         "metric": "teacher_fused_fwd_bwd_samples_per_sec_per_chip",
         "value": round(sps, 3),

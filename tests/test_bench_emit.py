@@ -120,6 +120,29 @@ def test_compact_line_is_last_and_bounded(tmp_path):
         assert json.load(f)["value"] == 351.137
 
 
+def test_assemble_tolerates_placeholder_sections():
+    """Mid-run the cached section holds the string "pending" (and failed
+    sections hold error strings) where dicts normally live; the compact
+    assembler must emit nulls, not raise — a raise here inside the
+    on_partial flush killed the whole cached-tier section in the r5
+    trial run."""
+    bench = _fresh_bench()
+    bench._BEST.update({"samples_per_sec_per_chip": 100.0, "n_chips": 1,
+                        "batch_size": 64, "platform": "tpu",
+                        "dispatch": "per_step"})
+    bench._SECTIONS["teacher_cached_features"] = {
+        "samples_per_sec_per_chip": 123.0, "batch_size": 512,
+        "per_batch_size": {"512": 123.0},
+        "scan_dispatch": "pending"}
+    d, c = bench._assemble()
+    assert c["cached_scan_sps_chip"] is None
+    assert c["cached_per_step_resident_sps_chip"] == 123.0
+    bench._SECTIONS["teacher_cached_features"] = {"error": "boom"}
+    d, c = bench._assemble()
+    assert c["cached_scan_sps_chip"] is None
+    json.loads(json.dumps(c))
+
+
 def test_sigterm_flushes_best_so_far_line():
     """Kill the process mid-'run'; the handler must print a parseable
     compact headline LAST before exiting — with a NON-zero rc so a killed
