@@ -590,6 +590,15 @@ def measure_jax_teacher_cached(batch_size: int = 64, n_steps: int = 10,
         scan_info["repeats"] = [round(r, 1) for r in reps]
     except Exception as e:   # keep the sweep numbers if the scan part trips
         scan_sps, scan_info = 0.0, {"error": str(e)}
+    if on_partial is not None:   # flush scan before the per-step part: a
+        on_partial({              # kill mid-section keeps what's measured
+            "samples_per_sec_per_chip": max(per_bs[best_bs], scan_sps),
+            "batch_size": best_bs,
+            "per_batch_size": {str(k): round(v, 1)
+                               for k, v in per_bs.items()},
+            "scan_dispatch": scan_info,
+            "per_step_fresh_feed": "pending",
+            "bank_build_s_for_32_images": round(build_s, 2)})
     try:
         ps_reps, ps_info = [], {}
         for _ in range(2):
