@@ -132,7 +132,10 @@ def join_lung_masks(catalog: dict, seg_mask: dict,
         raise KeyError("seg_mask needs a DicomPath/lung_mask_path column")
     by_key = {}
     for i, p in enumerate(paths):
-        if p is None:
+        # skip missing paths: None AND pandas-style float NaN (a columnar
+        # dict built from a frame delivers empty cells as nan, not None —
+        # the pandas join in raw_mimic guards with pd.notna; mirror it)
+        if p is None or p != p:
             continue
         key = (int(seg_mask["subject_id"][i]), int(seg_mask["study_id"][i]),
                str(seg_mask["dicom_id"][i]))

@@ -103,6 +103,18 @@ class TestCxrCatalog:
         }
         full = C.derive_catalog(meta, np.zeros((2, 2)), seg_mask=seg)
         assert full["has_lung_mask"].tolist() == [True, False]
+        # pandas-style missing values: a float NaN DicomPath (what
+        # df[c].to_numpy() yields for empty cells) must not become a
+        # ".../lung_mask/nan" path with has_lung_mask=True
+        seg_nan = {
+            "subject_id": np.array([1]),
+            "study_id": np.array([10]),
+            "dicom_id": np.array(["a"]),
+            "DicomPath": np.array([float("nan")], object),
+        }
+        out2 = C.join_lung_masks(catalog, seg_nan, lung_data_path="/r")
+        assert out2["lung_mask_path"][0] is None
+        assert not out2["has_lung_mask"].any()
 
 
 # =============================================================================
