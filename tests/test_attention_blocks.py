@@ -48,8 +48,11 @@ def test_perceiver_flash_eval_matches_standard():
     fla = PatchDualPathologyPerceiver(pcfg.replace(use_flash=True),
                                       d_ts=d_ts)
     vars_ = jax.jit(std.init)(jax.random.key(0), ts, im)
-    o_std = jax.jit(lambda v: std.apply(v, ts, im, train=False))(vars_)
-    o_fla = jax.jit(lambda v: fla.apply(v, ts, im, train=False))(vars_)
+    # pair the two applies in ONE jitted program per mode (eval, train):
+    # halves the per-test compile count on the 1-core host
+    o_std, o_fla = jax.jit(lambda v: (std.apply(v, ts, im, train=False),
+                                      fla.apply(v, ts, im, train=False))
+                           )(vars_)
     np.testing.assert_allclose(np.asarray(o_fla["fusion_logits"]),
                                np.asarray(o_std["fusion_logits"]),
                                rtol=2e-5, atol=2e-5)
@@ -60,12 +63,11 @@ def test_perceiver_flash_eval_matches_standard():
     # train mode: identical outputs under the SAME dropout rng prove the
     # flash path did NOT engage (the flash kernel skips attention-prob
     # dropout, so its train output would differ)
-    t_std = jax.jit(lambda v: std.apply(
-        v, ts, im, train=True,
-        rngs={"dropout": jax.random.key(3)}))(vars_)
-    t_fla = jax.jit(lambda v: fla.apply(
-        v, ts, im, train=True,
-        rngs={"dropout": jax.random.key(3)}))(vars_)
+    t_std, t_fla = jax.jit(lambda v: (
+        std.apply(v, ts, im, train=True,
+                  rngs={"dropout": jax.random.key(3)}),
+        fla.apply(v, ts, im, train=True,
+                  rngs={"dropout": jax.random.key(3)})))(vars_)
     np.testing.assert_allclose(np.asarray(t_fla["fusion_logits"]),
                                np.asarray(t_std["fusion_logits"]),
                                rtol=1e-6, atol=1e-6)
