@@ -36,6 +36,22 @@ def _free_port() -> int:
 
 
 def _run_two_proc(tmp_path, recipe: str):
+    """One retry on a fresh workdir: under full-suite load on the 1-core
+    host the two workers' startup skew occasionally exceeds gloo's 30 s
+    context-init window (observed ~1/10 full-suite runs even after the
+    -O0 worker-compile mitigation). The retry re-rolls the race with new
+    processes; every bit-equivalence assertion still applies to whichever
+    attempt ran."""
+    try:
+        return _run_two_proc_once(tmp_path / "a1", recipe)
+    except Exception as e:
+        print(f"[2proc] first attempt failed ({type(e).__name__}: {e}); "
+              "retrying once on a fresh workdir")
+        return _run_two_proc_once(tmp_path / "a2", recipe)
+
+
+def _run_two_proc_once(tmp_path, recipe: str):
+    tmp_path.mkdir(parents=True, exist_ok=True)
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = ""      # workers set their own 4-device flag
